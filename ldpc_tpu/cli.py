@@ -1,0 +1,256 @@
+"""Command-line interface.
+
+Drop-in flag surface for the reference CLI (`python_ldpc_app/main.py:445-524`)
+-- every reference flag is accepted with the same name and default -- plus
+the TPU-native knobs (--fidelity, --decode-graph, --check-rule,
+--noise-model, --batch, --seed, --exact-ber).
+
+Example:
+  python -m ldpc_tpu.cli --matrix <db>/BCH_7_4_1_strip.alist.txt \
+      --blocks 1000 --iterations 10 --ber --fer --output-json out.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from datetime import datetime
+
+from ldpc_tpu.sim.config import SimOptions
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="ldpc_tpu",
+        description="TPU-native LDPC link simulator",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        epilog="""
+Examples:
+  python -m ldpc_tpu.cli --matrix Channel_Codes_Database/BCH_7_4_1_strip.alist.txt --blocks 100 --ber --fer
+  python -m ldpc_tpu.cli --matrix wimax_1152_0.5.alist.txt --blocks 100000 --fidelity exact --iterations 20 --ber --fer
+        """,
+    )
+    # --- reference-compatible flags (main.py:456-523) ---
+    parser.add_argument("--matrix", "-m", type=str, required=True,
+                        help="Path to the parity-check matrix (ALIST)")
+    parser.add_argument("--blocks", "-b", type=int, default=100,
+                        help="Number of codeword blocks per SNR point (default: 100)")
+    parser.add_argument("--iterations", "-i", type=int, default=5,
+                        help="Max decoder iterations (default: 5)")
+    parser.add_argument("--interleaver", "-il", type=str,
+                        choices=["none", "regular", "random", "srandom"], default="none",
+                        help="Interleaver type (default: none)")
+    parser.add_argument("--decoder", "-d", type=str,
+                        choices=["bitflipping", "sumproduct", "minsum",
+                                 "normalized-minsum", "offset-minsum"],
+                        default="sumproduct", help="Decoder type (default: sumproduct)")
+    parser.add_argument("--speed", "-s", type=float, default=1.0,
+                        help="Transmission speed / rate factor (default: 1.0)")
+    parser.add_argument("--initial-snr", type=float, default=0.0,
+                        help="Initial SNR in dB (default: 0.0)")
+    parser.add_argument("--end-snr", type=float, default=5.0,
+                        help="Final SNR in dB (default: 5.0)")
+    parser.add_argument("--step-snr", type=float, default=0.5,
+                        help="SNR step in dB (default: 0.5)")
+    parser.add_argument("--interference-snr", type=float, default=1.0,
+                        help="Interference SNR in dB for modes 2/3 (default: 1.0)")
+    parser.add_argument("--mode", type=int, choices=[1, 2, 3], default=1,
+                        help="Channel: 1=AWGN, 2=AWGN+partial-band, 3=AWGN+jamming")
+    parser.add_argument("--p", type=float, default=0.1,
+                        help="Interference parameter p/gamma for modes 2/3 (default: 0.1)")
+    parser.add_argument("--modulation", "-mod", type=int, choices=[1, 2], default=1,
+                        help="Modulation: 1=BPSK, 2=QPSK (default: 1)")
+    parser.add_argument("--s-param", type=int, default=2,
+                        help="S parameter for the S-Random interleaver (default: 2)")
+    parser.add_argument("--ber", action="store_true", help="Compute BER")
+    parser.add_argument("--fer", action="store_true", help="Compute FER")
+    parser.add_argument("--normalized-llr", action="store_true",
+                        help="Compute normalized LLR")
+    parser.add_argument("--encoding-method", "-e", type=str,
+                        choices=["standard", "richardson-urbanke"], default="standard",
+                        help="Encoding method (default: standard)")
+    parser.add_argument("--ru-gap", type=int, default=None,
+                        help="Richardson-Urbanke gap (default: minimal found)")
+    parser.add_argument("--threads", "-t", type=int, default=1,
+                        help="Accepted for compatibility; parallelism is the device batch")
+    parser.add_argument("--output-json", type=str, default=None,
+                        help="Export results to a JSON file")
+    parser.add_argument("--output-csv", type=str, default=None,
+                        help="Export results to a CSV file")
+    parser.add_argument("--plot", action="store_true",
+                        help="Show plots after the simulation")
+    parser.add_argument("--plot-save", type=str, default=None,
+                        help="Save plots to this directory")
+    parser.add_argument("--adaptive", action="store_true",
+                        help="Enable adaptive parameter selection")
+    parser.add_argument("--adaptive-strategy", type=str, choices=["threshold"],
+                        default="threshold")
+    parser.add_argument("--matrix-dir", type=str, default=None,
+                        help="Matrix database directory (default: alongside --matrix)")
+    parser.add_argument("--adaptive-high-ber", type=float, default=1e-2)
+    parser.add_argument("--adaptive-low-ber", type=float, default=1e-5)
+
+    # --- TPU-native flags ---
+    parser.add_argument("--fidelity", type=str, choices=["reference", "exact"],
+                        default="reference",
+                        help="'reference': bit-compatible with the reference simulator "
+                             "(H_std graph, legacy check rule, legacy noise). "
+                             "'exact': sparse graph, correct SPA, calibrated noise.")
+    parser.add_argument("--decode-graph", type=str, choices=["std", "orig"], default=None,
+                        help="Override the decode Tanner graph")
+    parser.add_argument("--check-rule", type=str, choices=["legacy", "exact"], default=None,
+                        help="Override the check-node sign rule")
+    parser.add_argument("--noise-model", type=str, choices=["legacy", "exact"], default=None,
+                        help="Override the AWGN noise model")
+    parser.add_argument("--batch", type=int, default=0,
+                        help="Device batch of codewords (0 = auto)")
+    parser.add_argument("--seed", type=int, default=0, help="PRNG seed")
+    parser.add_argument("--exact-ber", action="store_true",
+                        help="Count undetected-error bits too (reference counts only failed frames)")
+    parser.add_argument("--quiet", "-q", action="store_true")
+    return parser
+
+
+def options_from_args(args: argparse.Namespace) -> SimOptions:
+    return SimOptions(
+        matrix=args.matrix,
+        blocks=args.blocks,
+        iterations=args.iterations,
+        interleaver=args.interleaver,
+        decoder=args.decoder,
+        speed=args.speed,
+        initial_snr=args.initial_snr,
+        end_snr=args.end_snr,
+        step_snr=args.step_snr,
+        interference_snr=args.interference_snr,
+        mode=args.mode,
+        p=args.p,
+        modulation=args.modulation,
+        s_param=args.s_param,
+        ber=args.ber,
+        fer=args.fer,
+        normalized_llr=args.normalized_llr,
+        encoding_method=args.encoding_method,
+        ru_gap=args.ru_gap,
+        threads=args.threads,
+        adaptive=args.adaptive,
+        adaptive_strategy=args.adaptive_strategy,
+        matrix_dir=args.matrix_dir,
+        adaptive_high_ber=args.adaptive_high_ber,
+        adaptive_low_ber=args.adaptive_low_ber,
+        output_json=args.output_json,
+        output_csv=args.output_csv,
+        plot=args.plot,
+        plot_save=args.plot_save,
+        fidelity=args.fidelity,
+        decode_graph=args.decode_graph,
+        check_rule=args.check_rule,
+        noise_model=args.noise_model,
+        batch=args.batch,
+        seed=args.seed,
+        exact_ber=args.exact_ber,
+        quiet=args.quiet,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if not os.path.exists(args.matrix):
+        print(f"Error: matrix file not found: {args.matrix}")
+        return 1
+
+    opts = options_from_args(args).resolved()
+    say = (lambda *a, **kw: None) if opts.quiet else print
+
+    say("=" * 60)
+    say("ldpc_tpu - TPU-native LDPC link simulator")
+    say("=" * 60)
+    say(f"Matrix file: {opts.matrix}")
+    say(f"Blocks per SNR point: {opts.blocks}")
+    say(f"Max iterations: {opts.iterations}")
+    say(f"Interleaver: {opts.interleaver}")
+    say(f"Decoder: {opts.decoder}")
+    say(f"Encoding method: {opts.encoding_method}")
+    say(f"Channel mode: {opts.mode}")
+    say(f"SNR range: {opts.initial_snr} - {opts.end_snr} dB (step {opts.step_snr} dB)")
+    say(f"Fidelity: {opts.fidelity} (graph={opts.decode_graph}, "
+        f"rule={opts.check_rule}, noise={opts.noise_model})")
+    if opts.adaptive:
+        say(f"Adaptive mode: on (strategy: {opts.adaptive_strategy})")
+    say("=" * 60)
+
+    start = time.time()
+    start_dt = datetime.now()
+    say(f"Started: {start_dt.strftime('%d.%m.%Y %H:%M:%S')}")
+
+    try:
+        from ldpc_tpu.sim.runner import load_code, run_simulation
+
+        code = load_code(opts.matrix)
+        say(f"Code parameters: n={code.n}, m={code.m}, k={code.k}, rate={code.rate:.4f}")
+
+        if opts.encoding_method == "richardson-urbanke":
+            spec = code.richardson_urbanke_spec(opts.ru_gap)
+            say(f"Richardson-Urbanke gap: {spec.gap}"
+                + (f" (requested: {opts.ru_gap})" if opts.ru_gap is not None else " (minimal found)"))
+
+        if opts.adaptive:
+            from ldpc_tpu.models.catalog import MatrixCatalog
+            from ldpc_tpu.sim.adaptive import AdaptiveController, ThresholdStrategy
+
+            matrix_dir = opts.matrix_dir
+            if matrix_dir is None:
+                matrix_dir = os.path.join(os.path.dirname(os.path.abspath(opts.matrix)), "..")
+            catalog = MatrixCatalog(matrix_dir)
+            strategy = ThresholdStrategy(
+                high_ber_threshold=opts.adaptive_high_ber,
+                low_ber_threshold=opts.adaptive_low_ber,
+            )
+            controller = AdaptiveController(strategy, catalog)
+            sim_result = controller.run_adaptive_sweep(opts)
+        else:
+            sim_result = run_simulation(opts, code=code)
+
+        elapsed = time.time() - start
+        say()
+        say("=" * 60)
+        say(f"Wall clock: {elapsed:.2f} s")
+        say("=" * 60)
+
+        if opts.output_json:
+            sim_result.to_json(opts.output_json)
+            say(f"Results exported to JSON: {opts.output_json}")
+        if opts.output_csv:
+            sim_result.to_csv(opts.output_csv)
+            say(f"Results exported to CSV: {opts.output_csv}")
+
+        if opts.plot or opts.plot_save:
+            from ldpc_tpu.sim.visualization import SimulationPlotter
+
+            plotter = SimulationPlotter(sim_result)
+            plotter.plot_combined_dashboard(save_dir=opts.plot_save)
+            if sim_result.adaptation_log:
+                plotter.plot_adaptation_history(save_dir=opts.plot_save)
+            if opts.plot:
+                import matplotlib.pyplot as plt
+
+                plt.show()
+        return 0
+
+    except Exception as e:  # mirror the reference's loud failure path
+        elapsed = time.time() - start
+        print("=" * 60)
+        print(f"Error: {e}")
+        print(f"Elapsed before error: {elapsed:.2f} s")
+        print("=" * 60)
+        import traceback
+
+        traceback.print_exc()
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

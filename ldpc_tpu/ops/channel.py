@@ -1,8 +1,8 @@
 """Vectorized channel models: modulation, noise, per-bit LLRs.
 
 Re-implements the reference channel (`python_ldpc_app/channel.py`) as a pure
-batched function: BPSK (0 -> -1, 1 -> +1) / QPSK-proxy (+-0.7) modulation and
-three interference modes:
+batched function: BPSK (0 -> -1, 1 -> +1) / QPSK-proxy (+-0.7) modulation
+(channel.py:47-51) and three interference modes:
 
   mode 1: AWGN.              LLR = 2 y / sigma1^2            (channel.py:54-81)
   mode 2: AWGN + partial-band interference: with probability p a bit also
@@ -12,28 +12,46 @@ three interference modes:
 
 Scale factors L_c1/L_c2/L_c3 and sigmas follow `channel.py:102-119` exactly.
 
+The per-SNR scale factors are *runtime scalars* (ChannelConsts) so an SNR
+sweep reuses one compiled step instead of recompiling per point; only the
+mode/modulation/noise-model are compile-time static.
+
 Noise model quirk: the reference deliberately replicates a C++ bug in mode 1,
 drawing noise with sigma**2 passed as the *standard deviation*
-(`channel.py:55-68`). ``noise_model='legacy'`` (default, for BER-curve parity
-with the reference) reproduces that; ``noise_model='exact'`` uses the
-physically correct sigma. Modes 2/3 in the reference use a Park-Miller LCG
-reseeded identically per channel instance -- we use proper counter-based JAX
-PRNG instead (the reference's multiprocess path replays the same noise in
-every block, which is a bug, not a behavior worth keeping).
+(`channel.py:55-68`), which makes its nominal SNR axis much cleaner than
+physical. ``noise_model='legacy'`` reproduces that for BER-curve parity;
+``noise_model='exact'`` uses the correct sigma. Modes 2/3 in the reference
+use a Park-Miller LCG re-seeded identically per channel instance -- its
+multiprocess path therefore replays the same noise in every block (a bug);
+here every bit draws from a counter-based JAX PRNG.
 """
 
 from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 
+class ChannelConsts(NamedTuple):
+    """Runtime per-SNR-point scalars (traced; change without recompiling)."""
+
+    noise1_std: jax.Array  # mode-1 noise stddev (legacy: sigma^2, exact: sigma)
+    llr_scale: jax.Array  # mode-1 LLR factor 2 / sigma1^2
+    sigma1: jax.Array
+    sigma2: jax.Array
+    l_c1: jax.Array
+    l_c2: jax.Array
+    l_c3: jax.Array
+    p: jax.Array
+
+
 @dataclass(frozen=True)
 class ChannelParams:
-    """Static per-SNR-point channel configuration (hashable -> jit static)."""
+    """Host-side channel configuration for one SNR point."""
 
     mode: int = 1  # 1=AWGN, 2=partial-band, 3=jamming
     modulation: int = 1  # 1=BPSK, 2=QPSK-proxy (+-0.7)
@@ -74,56 +92,71 @@ class ChannelParams:
             return 1.0 / math.sqrt(2.0 * self.speed * (sn2 * self.p))
         return 1.0 / math.sqrt(2.0 * self.speed * sn2)
 
+    def consts(self) -> ChannelConsts:
+        sigma1 = self.sigma1
+        noise1_std = sigma1**2 if self.noise_model == "legacy" else sigma1
+        f32 = jnp.float32
+        return ChannelConsts(
+            noise1_std=f32(noise1_std),
+            llr_scale=f32(2.0 / (sigma1**2)),
+            sigma1=f32(sigma1),
+            sigma2=f32(self.sigma2),
+            l_c1=f32(self.l_c1),
+            l_c2=f32(self.l_c2),
+            l_c3=f32(self.l_c3),
+            p=f32(self.p),
+        )
 
-def make_channel(params: ChannelParams):
-    """Build ``channel(key, bits: f32 [B, n]) -> llr: f32 [B, n]``.
+
+def make_channel_fn(mode: int, modulation: int = 1):
+    """Build ``channel(key, bits: f32 [B, n], consts: ChannelConsts) -> llr``.
 
     ``bits`` are codeword bits in {0, 1}; returns per-bit channel LLRs with
     the reference's sign convention (LLR > 0 <=> bit 1).
     """
-    amp = 1.0 if params.modulation == 1 else 0.7
-    mode = params.mode
-    sigma1 = params.sigma1
-    noise1_std = sigma1**2 if params.noise_model == "legacy" else sigma1
+    amp = 1.0 if modulation == 1 else 0.7
 
     if mode == 1:
-        llr_scale = 2.0 / (sigma1**2)
 
-        def channel(key: jax.Array, bits: jax.Array) -> jax.Array:
+        def channel(key, bits, c: ChannelConsts):
             sym = (2.0 * bits - 1.0) * amp
-            noise = noise1_std * jax.random.normal(key, bits.shape, dtype=jnp.float32)
-            return llr_scale * (sym + noise)
+            noise = c.noise1_std * jax.random.normal(key, bits.shape, dtype=jnp.float32)
+            return c.llr_scale * (sym + noise)
 
         return channel
 
-    sigma2 = params.sigma2
-    p = params.p
-
     if mode == 2:
-        l_c1, l_c2 = params.l_c1, params.l_c2
 
-        def channel(key: jax.Array, bits: jax.Array) -> jax.Array:
+        def channel(key, bits, c: ChannelConsts):
             k1, k2, k3 = jax.random.split(key, 3)
             sym = (2.0 * bits - 1.0) * amp
-            n1 = sigma1 * jax.random.normal(k1, bits.shape, dtype=jnp.float32)
-            n2 = sigma2 * jax.random.normal(k2, bits.shape, dtype=jnp.float32)
-            jammed = jax.random.uniform(k3, bits.shape, dtype=jnp.float32) < p
-            return jnp.where(
-                jammed, (sym + n1 + n2) * l_c2, (sym + n1) * l_c1
-            )
+            n1 = c.sigma1 * jax.random.normal(k1, bits.shape, dtype=jnp.float32)
+            n2 = c.sigma2 * jax.random.normal(k2, bits.shape, dtype=jnp.float32)
+            jammed = jax.random.uniform(k3, bits.shape, dtype=jnp.float32) < c.p
+            return jnp.where(jammed, (sym + n1 + n2) * c.l_c2, (sym + n1) * c.l_c1)
 
         return channel
 
     if mode == 3:
-        l_c3 = params.l_c3
 
-        def channel(key: jax.Array, bits: jax.Array) -> jax.Array:
+        def channel(key, bits, c: ChannelConsts):
             k1, k2 = jax.random.split(key)
             sym = (2.0 * bits - 1.0) * amp
-            n1 = sigma1 * jax.random.normal(k1, bits.shape, dtype=jnp.float32)
-            n2 = sigma2 * jax.random.normal(k2, bits.shape, dtype=jnp.float32)
-            return ((sym + n1 + n2) * p + (sym + n1) * (1.0 - p)) * l_c3
+            n1 = c.sigma1 * jax.random.normal(k1, bits.shape, dtype=jnp.float32)
+            n2 = c.sigma2 * jax.random.normal(k2, bits.shape, dtype=jnp.float32)
+            return ((sym + n1 + n2) * c.p + (sym + n1) * (1.0 - c.p)) * c.l_c3
 
         return channel
 
     raise ValueError(f"Unknown channel mode: {mode}")
+
+
+def make_channel(params: ChannelParams):
+    """Convenience wrapper: closes over a single SNR point's constants."""
+    fn = make_channel_fn(params.mode, params.modulation)
+    consts = params.consts()
+
+    def channel(key, bits):
+        return fn(key, bits, consts)
+
+    return channel

@@ -41,12 +41,27 @@ class BlockCounters(NamedTuple):
         return BlockCounters(z32, z32, z32, z32, jnp.float32(0.0), z32, z32)
 
 
-def count_block_metrics(
+class BlockStats(NamedTuple):
+    """Per-codeword metric arrays (all [B]), produced alongside the decode.
+
+    Kept unreduced inside the decode program on purpose: XLA's compile time
+    explodes (minutes) when cross-batch reductions consume while-loop outputs
+    in the same program, so the cheap reduction to BlockCounters lives in a
+    separately compiled function (``make_reducer``).
+    """
+
+    error_bits: jax.Array  # int32 [B]
+    ok: jax.Array  # bool [B]
+    conv_iter: jax.Array  # int32 [B]
+    norm_llr: jax.Array  # f32 [B]
+
+
+def block_stats(
     u: jax.Array,  # uint8 [B, k] original info bits
     result,  # DecodeResult
     info_pos: jax.Array,  # int32 [k] positions of info bits in the codeword
     exact: bool = False,
-) -> BlockCounters:
+) -> BlockStats:
     decoded_info = jnp.take(result.est, info_pos, axis=1)
     errs = jnp.sum(decoded_info != u.astype(decoded_info.dtype), axis=1).astype(
         jnp.int32
@@ -54,15 +69,40 @@ def count_block_metrics(
     if not exact:
         # reference: bits counted only when decode failed (main.py:134)
         errs = jnp.where(result.ok, 0, errs)
-    converged = result.conv_iter >= 0
+    return BlockStats(
+        error_bits=errs,
+        ok=result.ok,
+        conv_iter=result.conv_iter,
+        norm_llr=result.norm_llr,
+    )
+
+
+def reduce_block_stats(stats: BlockStats, valid: jax.Array) -> BlockCounters:
+    """Masked reduction of BlockStats -> BlockCounters (jit separately)."""
+    msum = lambda x: jnp.sum(jnp.where(valid, x, 0))
+    converged = stats.conv_iter >= 0
     return BlockCounters(
-        blocks=jnp.int32(u.shape[0]),
-        ok_blocks=jnp.sum(result.ok).astype(jnp.int32),
-        error_bits=jnp.sum(errs).astype(jnp.int32),
-        fer_frames=jnp.sum(~result.ok).astype(jnp.int32),
-        norm_llr_sum=jnp.sum(result.norm_llr).astype(jnp.float32),
-        conv_iters_sum=jnp.sum(jnp.where(converged, result.conv_iter, 0)).astype(
+        blocks=jnp.sum(valid).astype(jnp.int32),
+        ok_blocks=msum(stats.ok).astype(jnp.int32),
+        error_bits=msum(stats.error_bits).astype(jnp.int32),
+        fer_frames=msum(~stats.ok).astype(jnp.int32),
+        norm_llr_sum=msum(stats.norm_llr).astype(jnp.float32),
+        conv_iters_sum=msum(jnp.where(converged, stats.conv_iter, 0)).astype(
             jnp.int32
         ),
-        conv_count=jnp.sum(converged).astype(jnp.int32),
+        conv_count=msum(converged).astype(jnp.int32),
     )
+
+
+def count_block_metrics(
+    u: jax.Array,
+    result,
+    info_pos: jax.Array,
+    exact: bool = False,
+    valid: jax.Array | None = None,
+) -> BlockCounters:
+    """One-shot convenience (tests / small runs): stats + reduction together.
+    Production steps should keep the two in separate jits (see BlockStats)."""
+    if valid is None:
+        valid = jnp.ones(u.shape[0], bool)
+    return reduce_block_stats(block_stats(u, result, info_pos, exact), valid)

@@ -1,0 +1,130 @@
+"""Simulation configuration.
+
+`SimOptions` is the single options bean: it carries the reference's full flag
+surface (`python_ldpc_app/main.py:456-523`, `settings.py:4-89`) plus the
+TPU-native knobs (decode graph, check-node rule, noise model, decoder variant,
+device batch size, PRNG seed). `fidelity` presets bundle the compat quirks:
+
+  'reference' -- decode on H_std with the reference's legacy check-node rule
+                 and legacy (sigma^2-as-stddev) noise: BER/FER curves match
+                 the reference simulator point-for-point in distribution.
+  'exact'     -- decode the original sparse Tanner graph with the correct SPA
+                 parity rule and physically calibrated noise: proper LDPC
+                 performance (and ~40x fewer edges to process per iteration).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from enum import Enum
+
+
+class Result(Enum):
+    OK = "eOk"
+    INVALID_INPUT = "eInvalidInput"
+    INVALID_PATH = "eInvalidPath"
+    DATA_TRANSFER_NOT_OK = "eDataTransferNotOk"
+
+
+class InterleaverType(Enum):
+    NONE = "eNone"
+    REGULAR = "eRegular"
+    RANDOM = "eRandom"
+    SRANDOM = "eSRandom"
+
+
+class LDPCDecoderType(Enum):
+    BIT_FLIPPING = "eBitFlipping"
+    SUM_PRODUCT = "eSumProduct"
+
+
+class EncodingMethod(Enum):
+    STANDARD = "standard"
+    RICHARDSON_URBANKE = "richardson_urbanke"
+
+
+@dataclass
+class SimOptions:
+    # --- reference flag surface (main.py:456-523) ---
+    matrix: str = ""
+    blocks: int = 100
+    iterations: int = 5
+    interleaver: str = "none"  # none | regular | random | srandom
+    decoder: str = "sumproduct"  # sumproduct | bitflipping | minsum | normalized-minsum | offset-minsum
+    speed: float = 1.0
+    initial_snr: float = 0.0
+    end_snr: float = 5.0
+    step_snr: float = 0.5
+    interference_snr: float = 1.0
+    mode: int = 1
+    p: float = 0.1
+    modulation: int = 1
+    s_param: int = 2
+    ber: bool = False
+    fer: bool = False
+    normalized_llr: bool = False
+    encoding_method: str = "standard"  # standard | richardson-urbanke
+    ru_gap: int | None = None
+    threads: int = 1  # accepted for CLI compatibility; ignored (device batch rules)
+
+    # --- adaptive mode (main.py:512-522) ---
+    adaptive: bool = False
+    adaptive_strategy: str = "threshold"
+    matrix_dir: str | None = None
+    adaptive_high_ber: float = 1e-2
+    adaptive_low_ber: float = 1e-5
+
+    # --- export / plots ---
+    output_json: str | None = None
+    output_csv: str | None = None
+    plot: bool = False
+    plot_save: str | None = None
+
+    # --- TPU-native knobs ---
+    fidelity: str = "reference"  # preset: 'reference' | 'exact' (see module doc)
+    decode_graph: str | None = None  # 'std' | 'orig' (None -> from fidelity)
+    check_rule: str | None = None  # 'legacy' | 'exact' (None -> from fidelity)
+    noise_model: str | None = None  # 'legacy' | 'exact' (None -> from fidelity)
+    batch: int = 0  # device batch of codewords; 0 -> auto
+    seed: int = 0
+    exact_ber: bool = False  # also count undetected-error bits (not just failed frames)
+    minsum_alpha: float = 0.75
+    minsum_beta: float = 0.15
+    quiet: bool = False
+
+    def resolved(self) -> "SimOptions":
+        """Fill fidelity-derived fields."""
+        if self.fidelity not in ("reference", "exact"):
+            raise ValueError(f"Unknown fidelity preset: {self.fidelity}")
+        exact = self.fidelity == "exact"
+        return replace(
+            self,
+            decode_graph=self.decode_graph or ("orig" if exact else "std"),
+            check_rule=self.check_rule or ("exact" if exact else "legacy"),
+            noise_model=self.noise_model or ("exact" if exact else "legacy"),
+        )
+
+    @property
+    def decoder_variant(self) -> str:
+        d = self.decoder.lower().replace("_", "-")
+        return {
+            "sumproduct": "spa",
+            "sum-product": "spa",
+            "spa": "spa",
+            "bitflipping": "bitflipping",
+            "bit-flipping": "bitflipping",
+            "minsum": "minsum",
+            "min-sum": "minsum",
+            "normalized-minsum": "normalized_minsum",
+            "offset-minsum": "offset_minsum",
+        }.get(d, d)
+
+    def auto_batch(self, n: int) -> int:
+        """Pick a device batch size: large enough to saturate the chip, small
+        enough to keep message tensors comfortably in HBM."""
+        if self.batch > 0:
+            return self.batch
+        target_elems = 64 << 20  # ~256 MB of f32 messages
+        per_cw = max(n * 8, 1)
+        b = max(1, target_elems // per_cw)
+        return int(min(b, 8192, max(128, self.blocks)))

@@ -1,0 +1,318 @@
+"""SNR-sweep simulation runner.
+
+TPU re-design of the reference driver (`python_ldpc_app/main.py:178-442`):
+instead of a Python loop spawning one process per codeword, a whole batch of
+codewords runs the full encode -> interleave -> channel -> deinterleave ->
+decode -> count pipeline as ONE jitted program; the SNR sweep reuses a single
+compiled step (channel scale factors are runtime scalars), and Monte-Carlo
+batches stream until the requested block count is reached. Error counters are
+reduced on device; only seven scalars come back to the host per batch.
+
+With a `jax.sharding.Mesh`, the codeword batch axis is sharded across chips
+(the TPU equivalent of the reference's ProcessPoolExecutor fan-out,
+main.py:241-292) and the counter reductions become psums over ICI.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from datetime import datetime
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldpc_tpu.models.code import LDPCCode
+from ldpc_tpu.ops.channel import ChannelConsts, ChannelParams, make_channel_fn
+from ldpc_tpu.ops.encode import make_encoder, random_info_bits
+from ldpc_tpu.ops.interleave import make_interleaver
+from ldpc_tpu.ops.metrics import BlockCounters, block_stats, reduce_block_stats
+from ldpc_tpu.ops.spa import make_decoder
+from ldpc_tpu.sim.config import SimOptions
+from ldpc_tpu.sim.results import SimulationConfig, SimulationResult, SNRPointResult
+
+
+@lru_cache(maxsize=16)
+def load_code(path: str) -> LDPCCode:
+    return LDPCCode(path)
+
+
+@dataclass
+class PointStats:
+    """Host-side aggregate for one SNR point."""
+
+    blocks: int = 0
+    ok_blocks: int = 0
+    error_bits: int = 0
+    fer_frames: int = 0
+    norm_llr_sum: float = 0.0
+    conv_iters_sum: int = 0
+    conv_count: int = 0
+
+    def add(self, c: BlockCounters) -> None:
+        self.blocks += int(c.blocks)
+        self.ok_blocks += int(c.ok_blocks)
+        self.error_bits += int(c.error_bits)
+        self.fer_frames += int(c.fer_frames)
+        self.norm_llr_sum += float(c.norm_llr_sum)
+        self.conv_iters_sum += int(c.conv_iters_sum)
+        self.conv_count += int(c.conv_count)
+
+
+class PointExecutor:
+    """One compiled Monte-Carlo step, reusable across every SNR point that
+    shares (code, iterations, interleaver, modulation, decoder config)."""
+
+    def __init__(
+        self,
+        code: LDPCCode,
+        opts: SimOptions,
+        *,
+        max_iterations: int | None = None,
+        interleaver: str | None = None,
+        modulation: int | None = None,
+        mesh: jax.sharding.Mesh | None = None,
+        batch_axes: tuple[str, ...] = ("batch",),
+    ):
+        opts = opts.resolved()
+        self.code = code
+        self.opts = opts
+        self.graph = opts.decode_graph
+        self.max_iterations = max_iterations or opts.iterations
+        il_kind = interleaver if interleaver is not None else opts.interleaver
+        self.modulation = modulation or opts.modulation
+        self.batch = opts.auto_batch(code.n)
+        self.mesh = mesh
+        if mesh is not None:
+            # round the batch up to a multiple of the sharded axis size
+            axis = int(np.prod([mesh.shape[a] for a in batch_axes]))
+            self.batch = int(-(-self.batch // axis) * axis)
+
+        spec = code.encode_spec(opts.encoding_method, opts.ru_gap)
+        self.spec = spec
+        layout = code.layout(self.graph)
+        info_pos = spec.info_pos(self.graph)
+        self._info_pos = jnp.asarray(info_pos)
+
+        encode = make_encoder(spec, self.graph)
+        interleave, deinterleave = make_interleaver(
+            il_kind, code.n, s_param=opts.s_param, seed=opts.seed
+        )
+        channel = make_channel_fn(opts.mode, self.modulation)
+        decode = make_decoder(
+            layout,
+            info_pos,
+            self.max_iterations,
+            opts.decoder_variant,
+            rule=opts.check_rule,
+            alpha=opts.minsum_alpha,
+            beta=opts.minsum_beta,
+        )
+        k = code.k
+        batch = self.batch
+        exact_ber = opts.exact_ber
+
+        if mesh is not None:
+            sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(batch_axes)
+            )
+        else:
+            sharding = None
+
+        def step(key: jax.Array, consts: ChannelConsts):
+            k_u, k_il, k_ch = jax.random.split(key, 3)
+            u = random_info_bits(k_u, batch, k)
+            if sharding is not None:
+                u = jax.lax.with_sharding_constraint(u, sharding)
+            w = encode(u)
+            w_int, il_state = interleave(k_il, w)
+            llr = channel(k_ch, w_int, consts)
+            llr = deinterleave(il_state, llr)
+            res = decode(llr)
+            # NOTE: per-codeword stats stay unreduced here -- reducing
+            # while-loop outputs to scalars in the same XLA program costs
+            # minutes of compile time; the reduction runs in _reduce below.
+            stats = block_stats(u, res, self._info_pos, exact=exact_ber)
+            return stats, res.iters_run
+
+        def reduce(stats, valid_count: jax.Array) -> BlockCounters:
+            valid = jnp.arange(batch) < valid_count
+            return reduce_block_stats(stats, valid)
+
+        self._step = jax.jit(step)
+        self._reduce = jax.jit(reduce)
+        self.total_iters_run = 0
+
+    def run_point(
+        self, snr_db: float, blocks: int, base_key: jax.Array, point_index: int
+    ) -> PointStats:
+        """Stream Monte-Carlo batches for one SNR point."""
+        opts = self.opts
+        params = ChannelParams(
+            mode=opts.mode,
+            modulation=self.modulation,
+            speed=opts.speed,
+            snr_db=snr_db,
+            interference_snr_db=opts.interference_snr,
+            p=opts.p,
+            noise_model=opts.noise_model,
+        )
+        consts = params.consts()
+        key_point = jax.random.fold_in(base_key, point_index)
+
+        stats = PointStats()
+        remaining = blocks
+        batch_idx = 0
+        while remaining > 0:
+            take = min(remaining, self.batch)
+            key = jax.random.fold_in(key_point, batch_idx)
+            block, iters_run = self._step(key, consts)
+            counters = self._reduce(block, jnp.int32(take))
+            stats.add(jax.tree.map(np.asarray, counters))
+            self.total_iters_run += int(iters_run)
+            remaining -= take
+            batch_idx += 1
+        return stats
+
+
+def snr_steps(initial: float, end: float, step: float) -> list[float]:
+    """SNR grid with the reference's stepping (main.py:193, 206-209)."""
+    num_steps = int(math.ceil((end - initial) / step)) + 1
+    values = []
+    for i in range(num_steps):
+        snr = initial + i * step
+        values.append(min(snr, end))
+    return values
+
+
+def build_point_result(
+    snr_db: float,
+    stats: PointStats,
+    opts: SimOptions,
+    k: int,
+    *,
+    matrix_path: str | None = None,
+    modulation: int | None = None,
+    max_iterations: int | None = None,
+    interleaver: str | None = None,
+) -> SNRPointResult:
+    """Aggregate counters into an SNRPointResult with the reference's
+    averaging semantics (main.py:346-389)."""
+    blocks = stats.blocks
+    avg_ber = 0.0
+    avg_fer = 0.0
+    avg_llr = 0.0
+    if opts.ber and blocks > 0 and k > 0:
+        avg_ber = stats.error_bits / (k * blocks)
+    if opts.fer and blocks > 0:
+        avg_fer = stats.fer_frames / blocks
+    if opts.normalized_llr and blocks > 0:
+        avg_llr = stats.norm_llr_sum / blocks
+    avg_conv = stats.conv_iters_sum / stats.conv_count if stats.conv_count else 0.0
+    return SNRPointResult(
+        snr_db=snr_db,
+        ber=avg_ber,
+        fer=avg_fer,
+        avg_normalized_llr=avg_llr,
+        total_blocks=blocks,
+        successful_blocks=stats.ok_blocks,
+        failed_blocks=blocks - stats.ok_blocks,
+        avg_convergence_iterations=avg_conv,
+        matrix_path=matrix_path if matrix_path is not None else opts.matrix,
+        modulation=modulation if modulation is not None else opts.modulation,
+        max_iterations=max_iterations if max_iterations is not None else opts.iterations,
+        interleaver=interleaver if interleaver is not None else opts.interleaver,
+        encoding_method=opts.encoding_method,
+    )
+
+
+def make_sim_config(opts: SimOptions, code: LDPCCode) -> SimulationConfig:
+    dev = jax.devices()[0]
+    return SimulationConfig(
+        matrix_path=opts.matrix,
+        n=code.n,
+        m=code.m,
+        k=code.k,
+        rate=code.rate,
+        blocks=opts.blocks,
+        max_iterations=opts.iterations,
+        encoding_method=opts.encoding_method,
+        interleaver_type=opts.interleaver,
+        decoder_type=opts.decoder,
+        channel_mode=opts.mode,
+        modulation=opts.modulation,
+        speed=opts.speed,
+        snr_range=(opts.initial_snr, opts.end_snr, opts.step_snr),
+        threads=opts.threads,
+        timestamp=datetime.now().isoformat(),
+        interference_snr=opts.interference_snr,
+        p=opts.p,
+        fidelity=opts.fidelity,
+        decode_graph=opts.decode_graph or "",
+        check_rule=opts.check_rule or "",
+        noise_model=opts.noise_model or "",
+        batch=opts.batch,
+        seed=opts.seed,
+        device=f"{dev.platform}:{getattr(dev, 'device_kind', '')}x{jax.device_count()}",
+    )
+
+
+def run_simulation(
+    opts: SimOptions,
+    code: LDPCCode | None = None,
+    mesh: jax.sharding.Mesh | None = None,
+) -> SimulationResult:
+    """Full SNR sweep; returns a SimulationResult (main.py:178-442 analogue)."""
+    opts = opts.resolved()
+    start_time = time.time()
+    if code is None:
+        code = load_code(opts.matrix)
+
+    executor = PointExecutor(code, opts, mesh=mesh)
+    base_key = jax.random.key(opts.seed)
+
+    say = (lambda *a, **kw: None) if opts.quiet else print
+    say("Processing blocks across SNR points...")
+    say("-" * 60)
+
+    snr_points: list[SNRPointResult] = []
+    for idx, snr in enumerate(snr_steps(opts.initial_snr, opts.end_snr, opts.step_snr)):
+        say(f"\nSNR: {snr:.2f} dB")
+        stats = executor.run_point(snr, opts.blocks, base_key, idx)
+        point = build_point_result(snr, stats, opts, code.k)
+        snr_points.append(point)
+        if opts.normalized_llr:
+            say(f"  Normalized LLR: {point.avg_normalized_llr:.6f}")
+        if opts.fer:
+            say(f"  FER: {point.fer:.6f}")
+        if opts.ber:
+            say(f"  BER: {point.ber:.6f}")
+        say(
+            f"  Decoded OK: {point.successful_blocks}/{point.total_blocks} "
+            f"({100.0 * point.successful_blocks / max(point.total_blocks, 1):.2f}%)"
+        )
+
+    say()
+    say("=" * 60)
+    if opts.ber:
+        say("SNR -> BER:")
+        for p in snr_points:
+            say(f"  {p.snr_db:.2f} dB -> {p.ber:.6f}")
+    if opts.fer:
+        say("SNR -> FER:")
+        for p in snr_points:
+            say(f"  {p.snr_db:.2f} dB -> {p.fer:.6f}")
+    if opts.normalized_llr:
+        say("SNR -> Normalized LLR:")
+        for p in snr_points:
+            say(f"  {p.snr_db:.2f} dB -> {p.avg_normalized_llr:.6f}")
+    say("=" * 60)
+
+    return SimulationResult(
+        config=make_sim_config(opts, code),
+        snr_points=snr_points,
+        wall_clock_seconds=time.time() - start_time,
+    )

@@ -1,0 +1,155 @@
+"""Performance plots for simulation results.
+
+Covers the reference's plotting surface (`python_ldpc_app/visualization.py`):
+semilogy BER/FER waterfalls (zero points filtered for the log axis),
+normalized-LLR and convergence curves, a 2x2 dashboard PNG, adaptation
+history, and multi-result comparison overlays. Uses the non-interactive Agg
+backend by default.
+"""
+
+from __future__ import annotations
+
+import os
+
+try:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    HAS_MATPLOTLIB = True
+except ImportError:  # pragma: no cover
+    HAS_MATPLOTLIB = False
+
+from ldpc_tpu.sim.results import SimulationResult
+
+_METRICS = {
+    "ber": ("ber", "BER", "BER vs SNR", True, "o-"),
+    "fer": ("fer", "FER", "FER vs SNR", True, "s-"),
+    "llr": ("avg_normalized_llr", "Normalized LLR", "Normalized LLR vs SNR", False, "d-"),
+    "convergence": (
+        "avg_convergence_iterations",
+        "Avg iterations to convergence",
+        "Decoder Convergence vs SNR",
+        False,
+        "^-",
+    ),
+}
+
+
+class SimulationPlotter:
+    """Generates standard LDPC performance plots from SimulationResult data."""
+
+    def __init__(self, result: SimulationResult):
+        if not HAS_MATPLOTLIB:
+            raise ImportError("matplotlib is required for visualization")
+        self.result = result
+
+    def _plot_metric(self, metric: str, ax=None, save_path=None, label=None):
+        attr, ylabel, title, logy, style = _METRICS[metric]
+        pts = self.result.snr_points
+        pairs = [(p.snr_db, getattr(p, attr)) for p in pts]
+        if logy:
+            pairs = [(s, v) for s, v in pairs if v > 0]  # log axis: drop zeros
+            if not pairs:
+                return ax
+
+        own_fig = ax is None
+        fig = None
+        if own_fig:
+            fig, ax = plt.subplots(figsize=(8, 6))
+
+        xs = [s for s, _ in pairs]
+        ys = [v for _, v in pairs]
+        lbl = label or f"Rate={self.result.config.rate:.3f}"
+        plot = ax.semilogy if logy else ax.plot
+        plot(xs, ys, style, label=lbl, markersize=5)
+        ax.set_xlabel("SNR (dB)")
+        ax.set_ylabel(ylabel)
+        ax.set_title(title)
+        ax.grid(True, which="both" if logy else "major", alpha=0.3)
+        ax.legend()
+
+        if save_path and own_fig:
+            fig.savefig(save_path, dpi=150, bbox_inches="tight")
+        return ax
+
+    def plot_ber_vs_snr(self, ax=None, save_path=None, label=None):
+        return self._plot_metric("ber", ax, save_path, label)
+
+    def plot_fer_vs_snr(self, ax=None, save_path=None, label=None):
+        return self._plot_metric("fer", ax, save_path, label)
+
+    def plot_llr_vs_snr(self, ax=None, save_path=None, label=None):
+        return self._plot_metric("llr", ax, save_path, label)
+
+    def plot_convergence_vs_snr(self, ax=None, save_path=None, label=None):
+        return self._plot_metric("convergence", ax, save_path, label)
+
+    def plot_combined_dashboard(self, save_dir=None):
+        """2x2 grid: BER, FER, normalized LLR, convergence -> dashboard.png."""
+        fig, axes = plt.subplots(2, 2, figsize=(14, 10))
+        cfg = self.result.config
+        fig.suptitle(
+            f"LDPC Simulation: {os.path.basename(cfg.matrix_path)} "
+            f"(n={cfg.n}, k={cfg.k}, rate={cfg.rate:.3f})",
+            fontsize=13,
+        )
+        self.plot_ber_vs_snr(ax=axes[0, 0])
+        self.plot_fer_vs_snr(ax=axes[0, 1])
+        self.plot_llr_vs_snr(ax=axes[1, 0])
+        self.plot_convergence_vs_snr(ax=axes[1, 1])
+        fig.tight_layout(rect=[0, 0, 1, 0.95])
+
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            fig.savefig(os.path.join(save_dir, "dashboard.png"), dpi=150, bbox_inches="tight")
+        return fig
+
+    def plot_adaptation_history(self, save_dir=None):
+        """Code-rate and max-iteration trajectories of an adaptive run."""
+        log = self.result.adaptation_log
+        if not log:
+            return None
+
+        fig, axes = plt.subplots(2, 1, figsize=(12, 8))
+        fig.suptitle("Adaptive Parameter History", fontsize=13)
+        snrs = [e["snr_db"] for e in log]
+        axes[0].plot(snrs, [e.get("rate", 0) for e in log], "o-", color="tab:blue")
+        axes[0].set_xlabel("SNR (dB)")
+        axes[0].set_ylabel("Code Rate")
+        axes[0].set_title("Code Rate vs SNR")
+        axes[0].grid(True, alpha=0.3)
+        axes[1].plot(
+            snrs, [e.get("max_iterations", 0) for e in log], "s-", color="tab:orange"
+        )
+        axes[1].set_xlabel("SNR (dB)")
+        axes[1].set_ylabel("Max Iterations")
+        axes[1].set_title("Max Decoder Iterations vs SNR")
+        axes[1].grid(True, alpha=0.3)
+        fig.tight_layout(rect=[0, 0, 1, 0.95])
+
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            fig.savefig(
+                os.path.join(save_dir, "adaptation_history.png"),
+                dpi=150,
+                bbox_inches="tight",
+            )
+        return fig
+
+    @staticmethod
+    def plot_comparison(results, metric: str = "ber", save_path=None):
+        """Overlay several SimulationResults on one figure."""
+        if not HAS_MATPLOTLIB:
+            raise ImportError("matplotlib is required for visualization")
+        fig, ax = plt.subplots(figsize=(10, 7))
+        for r in results:
+            plotter = SimulationPlotter(r)
+            label = (
+                f"{os.path.basename(r.config.matrix_path)} (rate={r.config.rate:.3f})"
+            )
+            plotter._plot_metric(metric, ax=ax, label=label)
+        if save_path:
+            fig.savefig(save_path, dpi=150, bbox_inches="tight")
+        return fig
