@@ -52,16 +52,27 @@ def make_mesh(
 def sharded_sweep_step(executor_step, mesh: Mesh, snr_axis: str = "snr"):
     """Vectorize a point step over a sharded SNR axis.
 
-    ``executor_step(key, consts, valid) -> (BlockCounters, iters)`` becomes
-    ``sweep(keys[S], consts_stack[S], valid[S]) -> (BlockCounters[S], iters[S])``
-    with the S axis sharded over ``snr_axis`` -- every SNR point of a sweep
-    runs concurrently on its own mesh slice.
+    ``executor_step(key, consts) -> (BlockStats, iters)`` becomes
+    ``sweep(keys[S], consts_stack[S]) -> (BlockStats[S], iters[S])`` with the
+    S axis sharded over ``snr_axis`` -- every SNR point of a sweep runs
+    concurrently on its own mesh slice, while each point's codeword batch
+    stays sharded over the remaining axes.
     """
+    from ldpc_tpu.ops.metrics import BlockStats
+
     vstep = jax.vmap(executor_step)
-    spec = NamedSharding(mesh, P(snr_axis))
+    key_spec = NamedSharding(mesh, P(snr_axis))
+    batch_axes = tuple(a for a in mesh.axis_names if a != snr_axis)
+    # stats are [S, B]: SNR axis x codeword batch sharded over remaining axes
+    stats_spec = NamedSharding(mesh, P(snr_axis, batch_axes or None))
+    iters_spec = NamedSharding(mesh, P(snr_axis))
 
-    def sweep(keys, consts_stack, valid):
-        keys = jax.lax.with_sharding_constraint(keys, spec)
-        return vstep(keys, consts_stack, valid)
+    def sweep(keys, consts_stack):
+        keys = jax.lax.with_sharding_constraint(keys, key_spec)
+        return vstep(keys, consts_stack)
 
-    return jax.jit(sweep)
+    out_shardings = (
+        BlockStats(stats_spec, stats_spec, stats_spec, stats_spec),
+        iters_spec,
+    )
+    return jax.jit(sweep, out_shardings=out_shardings)
