@@ -262,8 +262,8 @@ class LDPCCode:
         return (h @ np.asarray(word, dtype=np.int64)) & 1
 
     def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        lo = self.layout_orig
         return (
             f"LDPCCode({self.name!r}, n={self.n}, m={self.m}, k={self.k}, "
-            f"rate={self.rate:.4f}, edges={self.layout.n_edges}, "
-            f"dc={self.layout.dc}, dv={self.layout.dv})"
+            f"rate={self.rate:.4f}, edges={lo.n_edges}, dc={lo.dc}, dv={lo.dv})"
         )

@@ -168,7 +168,7 @@ def make_decoder(
             jnp.zeros((B, n), jnp.uint8),  # est
             jnp.full((B,), -1, jnp.int32),  # conv_iter
             llr,  # prior posterior (starts at channel LLRs, spa_decoder.py:95)
-            jnp.zeros((B,), jnp.float32),  # norm_llr
+            jnp.zeros((B,), dtype),  # norm_llr
         )
 
         def cond(state):
@@ -206,7 +206,7 @@ def make_decoder(
             L_info = jnp.take(L, info_pos, axis=1)
             prior_info = jnp.take(prior, info_pos, axis=1)
             flips = (jnp.abs(L_info) <= LLR_WINDOW) & (prior_info * L_info < 0)
-            nl = jnp.sum(flips, axis=-1).astype(jnp.float32) / max(k, 1)
+            nl = jnp.sum(flips, axis=-1).astype(dtype) / max(k, 1)
 
             # freeze outputs of codewords that were already done
             est = jnp.where(active[:, None], est_bit, est)
@@ -277,10 +277,13 @@ def make_bitflip_decoder(layout, info_pos: np.ndarray, max_iterations: int):
             conv = jnp.where(~done & ok_now, it, conv)
             done_next = done | ok_now
 
-            # unsatisfied-check count per variable
+            # unsatisfied-check count per variable; flip the argmax set
+            # (classic Gallager bit-flipping: majority rules oscillate on
+            # degree-1/2 variables of short codes)
             par_pad = jnp.pad(par, ((0, 0), (0, 1)))  # sentinel check -> 0
             unsat = jnp.sum(jnp.take(par_pad, var_chk, axis=1), axis=-1)  # [B, n]
-            flip = unsat * 2 > var_deg[None, :]
+            mu = jnp.max(unsat, axis=-1, keepdims=True)
+            flip = (unsat == mu) & (mu > 0)
             est_next = jnp.where(flip, est ^ 1, est)
             est = jnp.where((done_next)[:, None], est, est_next)
             return (it + 1, est, done_next, conv)

@@ -3,43 +3,34 @@
 Tests run on CPU with 8 virtual devices (sharding tests) and x64 enabled
 (float64 numerical-parity tests vs the numpy reference decoder).
 
-This environment pre-imports JAX with a TPU backend from a sitecustomize hook
-at interpreter startup, before pytest (and this file) ever load -- setting
-JAX_PLATFORMS here would be too late. When that happened, re-exec pytest once
-with a clean CPU environment.
+This environment may pre-import JAX with a TPU backend from a sitecustomize
+hook at interpreter startup -- long before pytest loads this file -- so
+setting JAX_PLATFORMS here would normally be too late. Instead, any
+already-initialized backends are cleared and JAX is re-pointed at a
+virtual 8-device CPU platform in-process.
 """
 
 from __future__ import annotations
 
 import os
-import sys
 
-_REEXEC_FLAG = "LDPC_TPU_TEST_REEXEC"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
+import jax  # noqa: E402
 
-def _needs_reexec() -> bool:
-    if os.environ.get(_REEXEC_FLAG) == "1":
-        return False
-    if "jax" in sys.modules:
-        try:
-            import jax
+jax.config.update("jax_enable_x64", True)
+if jax.default_backend() != "cpu" or jax.device_count() < 8:
+    import jax.extend.backend
 
-            return jax.default_backend() != "cpu" or len(jax.devices()) < 8
-        except Exception:
-            return True
-    return os.environ.get("JAX_PLATFORMS") != "cpu"
-
-
-if _needs_reexec():
-    env = dict(os.environ)
-    env[_REEXEC_FLAG] = "1"
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PALLAS_AXON_POOL_IPS"] = ""  # disable the TPU sitecustomize hook
-    env["JAX_ENABLE_X64"] = "1"
-    flags = env.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-    os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
+    jax.extend.backend.clear_backends()
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu" and jax.device_count() >= 8, (
+        "could not obtain an 8-virtual-device CPU backend for tests"
+    )
 
 import numpy as np
 import pytest

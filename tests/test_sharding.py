@@ -1,0 +1,105 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpc_tpu.ops.channel import ChannelParams
+from ldpc_tpu.parallel.mesh import make_mesh, sharded_sweep_step
+from ldpc_tpu.sim.config import SimOptions
+from ldpc_tpu.sim.runner import PointExecutor
+
+
+@pytest.fixture(scope="module", autouse=True)
+def require_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh({"batch": 8})
+    assert mesh.shape == {"batch": 8}
+    mesh2 = make_mesh({"snr": 2, "batch": -1})
+    assert mesh2.shape == {"snr": 2, "batch": 4}
+    with pytest.raises(ValueError):
+        make_mesh({"batch": 3})
+
+
+def test_sharded_step_matches_unsharded(small_code):
+    """Counters from the mesh-sharded step must equal the single-device step
+    (threefry is partitionable => identical randomness)."""
+    opts = SimOptions(
+        matrix=small_code.name, blocks=64, iterations=6, ber=True, fer=True,
+        fidelity="exact", batch=64,
+    )
+    consts = ChannelParams(snr_db=2.0, noise_model="exact").consts()
+    key = jax.random.key(0)
+
+    plain = PointExecutor(small_code, opts)
+    s_plain, _ = plain._step(key, consts)
+    c_plain = plain._reduce(s_plain, jnp.int32(64))
+
+    mesh = make_mesh({"batch": 8})
+    sharded = PointExecutor(small_code, opts, mesh=mesh)
+    s_shard, _ = sharded._step(key, consts)
+    c_shard = sharded._reduce(s_shard, jnp.int32(64))
+
+    for a, b in zip(jax.tree.leaves(c_plain), jax.tree.leaves(c_shard)):
+        a, b = np.asarray(a), np.asarray(b)
+        if np.issubdtype(a.dtype, np.integer):
+            assert a == b  # counters identical: same randomness, exact ints
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-6)  # psum reduce order
+
+
+def test_sharded_outputs_are_sharded(small_code):
+    mesh = make_mesh({"batch": 8})
+    opts = SimOptions(
+        matrix=small_code.name, blocks=64, iterations=4, fidelity="exact", batch=64
+    )
+    ex = PointExecutor(small_code, opts, mesh=mesh)
+    stats, _ = ex._step(jax.random.key(1), ChannelParams(snr_db=1.0).consts())
+    sh = stats.ok.sharding
+    assert set(getattr(sh, "mesh", None).axis_names) == {"batch"}
+    # stats really live across devices
+    assert len(stats.ok.devices()) == 8
+
+
+def test_2d_snr_batch_sweep(small_code):
+    mesh = make_mesh({"snr": 2, "batch": 4})
+    opts = SimOptions(
+        matrix=small_code.name, blocks=32, iterations=4, fidelity="exact", batch=32
+    )
+    ex = PointExecutor(small_code, opts)
+    sweep = sharded_sweep_step(lambda k, c: ex._step(k, c), mesh, "snr")
+    consts = [
+        ChannelParams(snr_db=s, noise_model="exact").consts() for s in (0.0, 4.0)
+    ]
+    consts_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *consts)
+    keys = jax.random.split(jax.random.key(2), 2)
+    stats, iters = sweep(keys, consts_stack)
+    assert stats.ok.shape == (2, 32)
+    ok = np.asarray(stats.ok)
+    # higher SNR decodes at least as well
+    assert ok[1].sum() >= ok[0].sum()
+    assert len(stats.ok.devices()) == 8
+
+
+def test_executor_pads_batch_to_mesh(small_code):
+    mesh = make_mesh({"batch": 8})
+    opts = SimOptions(matrix=small_code.name, blocks=10, batch=10, fidelity="exact")
+    ex = PointExecutor(small_code, opts, mesh=mesh)
+    assert ex.batch % 8 == 0
+
+
+def test_run_point_on_mesh(small_code):
+    mesh = make_mesh({"batch": 8})
+    opts = SimOptions(
+        matrix=small_code.name, blocks=100, iterations=5, ber=True, fer=True,
+        fidelity="exact", batch=48,
+    )
+    ex = PointExecutor(small_code, opts, mesh=mesh)
+    stats = ex.run_point(3.0, 100, jax.random.key(3), 0)
+    assert stats.blocks == 100
+    assert 0 <= stats.ok_blocks <= 100
