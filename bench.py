@@ -47,13 +47,17 @@ def main() -> int:
     consts = ChannelParams(snr_db=2.0, noise_model="exact").consts()
     key = jax.random.key(0)
 
-    # compile + warmup
-    stats, iters = executor._step(key, consts)
-    counters = executor._reduce(stats, jnp.int32(batch))
-    jax.block_until_ready(counters)
+    # compile + warmup: several full loops -- the first dispatches after
+    # compilation pay one-time runtime/transfer costs (esp. via remote TPU
+    # tunnels), so warm until per-step time stabilizes
+    for w in range(3):
+        for i in range(4):
+            stats, _ = executor._step(jax.random.fold_in(key, 1000 * w + i), consts)
+            counters = executor._reduce(stats, jnp.int32(batch))
+        jax.block_until_ready(counters)
 
     # timed region: stream batches like the production sweep does
-    n_timed = 10
+    n_timed = 30
     t0 = time.perf_counter()
     totals = None
     for i in range(n_timed):
