@@ -50,29 +50,33 @@ def main() -> int:
     # compile + warmup: several full loops -- the first dispatches after
     # compilation pay one-time runtime/transfer costs (esp. via remote TPU
     # tunnels), so warm until per-step time stabilizes
-    for w in range(3):
-        for i in range(4):
+    for w in range(5):
+        for i in range(5):
             stats, _ = executor._step(jax.random.fold_in(key, 1000 * w + i), consts)
             counters = executor._reduce(stats, jnp.int32(batch))
         jax.block_until_ready(counters)
 
-    # timed region: stream batches like the production sweep does
-    n_timed = 30
-    t0 = time.perf_counter()
+    # timed region: stream batches like the production sweep does; take the
+    # median of several windows (remote-tunnel jitter)
+    n_timed, n_windows = 20, 5
+    window_times = []
     totals = None
-    for i in range(n_timed):
-        stats, _ = executor._step(jax.random.fold_in(key, i), consts)
-        counters = executor._reduce(stats, jnp.int32(batch))
-        totals = counters if totals is None else totals + counters
-    jax.block_until_ready(totals)
-    elapsed = time.perf_counter() - t0
+    for w in range(n_windows):
+        t0 = time.perf_counter()
+        for i in range(n_timed):
+            stats, _ = executor._step(jax.random.fold_in(key, 37 * w + i), consts)
+            counters = executor._reduce(stats, jnp.int32(batch))
+            totals = counters if totals is None else totals + counters
+        jax.block_until_ready(totals)
+        window_times.append(time.perf_counter() - t0)
+    elapsed = sorted(window_times)[len(window_times) // 2]
 
-    codewords = n_timed * batch
+    codewords = n_timed * batch  # per window
     info_bits = codewords * code.k
     bits_per_s = info_bits / elapsed
 
     # context to stderr (driver reads only the stdout JSON line)
-    fer = float(totals.fer_frames) / codewords
+    fer = float(totals.fer_frames) / (n_windows * codewords)
     print(
         f"# code={code.name} n={code.n} k={code.k} batch={batch} "
         f"codewords={codewords} elapsed={elapsed:.3f}s "

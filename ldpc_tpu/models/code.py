@@ -217,6 +217,17 @@ class LDPCCode:
             return self.layout_orig
         raise ValueError(f"Unknown decode graph: {graph}")
 
+    @cached_property
+    def qc(self):
+        """Quasi-cyclic factorization of the original H, or None.
+
+        When present, the Pallas roll-based decoder (ldpc_tpu.ops.spa_pallas)
+        replaces gather-based message passing on the 'orig' graph.
+        """
+        from ldpc_tpu.models.qc import detect_qc
+
+        return detect_qc(self.H)
+
     # ---------------------------------------------------------------- encode
 
     @cached_property

@@ -1,0 +1,101 @@
+"""Quasi-cyclic structure detection.
+
+Every LDPC family in the reference database (WiMAX 802.16e, WiFi 802.11n,
+WiGig 802.11ad, WRAN 802.22, CCSDS, Tanner) is quasi-cyclic: H consists of
+Z x Z blocks that are sums of cyclically shifted identities. On TPU this is
+the difference between a decoder built on (unsupported/slow) hardware gathers
+and one built on static cyclic rolls: the Tanner-graph edge permutation
+factorizes into per-block-edge rolls along the lift dimension, which the VPU
+executes as register shifts with zero memory traffic (see
+ldpc_tpu.ops.spa_pallas).
+
+The detector brute-forces candidate lift sizes Z (divisors of gcd(n, m), the
+largest first) and verifies that every nonzero diagonal of every block is
+complete. Multi-diagonal blocks (weight >= 2 circulants, e.g. CCSDS AR4JA)
+are supported: each (block_row, block_col, shift) triple becomes one base
+edge.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class QCLayout:
+    """Quasi-cyclic factorization of a parity-check matrix.
+
+    H[bi*Z + r, bj*Z + c] = 1  iff  (bi, bj, (c - r) % Z) is in ``edges``.
+    Edge slot (bi, s) with (bj, shift) connects check (bi, r) to variable
+    (bj, (r + shift) % Z) for every r in 0..Z-1.
+    """
+
+    n: int
+    m: int
+    Z: int
+    nb: int  # base columns  (n // Z)
+    mb: int  # base rows     (m // Z)
+    edges: tuple[tuple[int, int, int], ...]  # (block_row, block_col, shift)
+
+    @property
+    def n_base_edges(self) -> int:
+        return len(self.edges)
+
+    def row_slots(self) -> list[list[tuple[int, int]]]:
+        """Per base row: list of (block_col, shift) in edge order."""
+        rows: list[list[tuple[int, int]]] = [[] for _ in range(self.mb)]
+        for bi, bj, s in self.edges:
+            rows[bi].append((bj, s))
+        return rows
+
+    def col_slots(self) -> list[list[tuple[int, int, int]]]:
+        """Per base col: list of (block_row, slot_in_row, shift)."""
+        cols: list[list[tuple[int, int, int]]] = [[] for _ in range(self.nb)]
+        counts = [0] * self.mb
+        for bi, bj, s in self.edges:
+            cols[bj].append((bi, counts[bi], s))
+            counts[bi] += 1
+        return cols
+
+    def to_dense(self) -> np.ndarray:
+        H = np.zeros((self.m, self.n), dtype=np.uint8)
+        r = np.arange(self.Z)
+        for bi, bj, s in self.edges:
+            H[bi * self.Z + r, bj * self.Z + (r + s) % self.Z] ^= 1
+        return H
+
+
+def detect_qc(alist, min_z: int = 4, max_base_edges: int = 512) -> QCLayout | None:
+    """Find the largest lift size Z for which ``alist`` is quasi-cyclic.
+
+    Returns None when no QC structure (with Z >= min_z) exists -- such codes
+    fall back to the XLA gather-based decoder.
+    """
+    n, m = alist.n, alist.m
+    if n == 0 or m == 0:
+        return None
+    H = alist.to_dense()
+    g = math.gcd(n, m)
+    for Z in sorted((d for d in range(min_z, g + 1) if g % d == 0), reverse=True):
+        nb, mb = n // Z, m // Z
+        edges: list[tuple[int, int, int]] = []
+        ok = True
+        for bi in range(mb):
+            for bj in range(nb):
+                blk = H[bi * Z : (bi + 1) * Z, bj * Z : (bj + 1) * Z]
+                rr, cc = np.nonzero(blk)
+                if rr.size == 0:
+                    continue
+                diags, counts = np.unique((cc - rr) % Z, return_counts=True)
+                if not (counts == Z).all() or diags.size * Z != rr.size:
+                    ok = False
+                    break
+                edges.extend((bi, bj, int(s)) for s in diags)
+            if not ok:
+                break
+        if ok and len(edges) <= max_base_edges:
+            return QCLayout(n=n, m=m, Z=Z, nb=nb, mb=mb, edges=tuple(edges))
+    return None

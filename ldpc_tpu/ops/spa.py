@@ -132,7 +132,9 @@ def make_decoder(
             t = jnp.where(slot_valid, t, jnp.ones((), dtype))
             prod = _exclusive_prod(t)
             prod = jnp.clip(prod, -prod_clip, prod_clip)
-            return 2.0 * jnp.arctanh(prod)
+            # 2*atanh(p) in log form -- same expression as the Pallas kernel
+            # (Mosaic has no atanh primitive), so both paths agree bit-for-bit
+            return jnp.log((1.0 + prod) / (1.0 - prod))
         # min-sum family: sign via exclusive product, magnitude via two-min.
         sgn = jnp.where(slot_valid, _signs(M), jnp.ones((), dtype))
         mag = jnp.where(slot_valid, jnp.abs(M), jnp.inf)

@@ -1,0 +1,289 @@
+"""Fused quasi-cyclic SPA/min-sum decoder as a Pallas TPU kernel.
+
+Design (TPU-first, no gathers):
+
+* The Tanner-graph message permutation of a QC code factorizes into STATIC
+  cyclic rolls along the lift dimension Z (ldpc_tpu.models.qc). Mosaic has no
+  general gather, but static rolls lower to sublane shifts -- so the whole
+  flooding iteration becomes elementwise VPU math.
+* Layout: codewords are the LANE dimension (tile of ``tile_b`` lanes), the
+  lift dimension Z is the sublane dimension. Messages live in VMEM scratch
+  ``M/E[mb, dc_b, Z, tile_b]`` for the entire decode: per iteration the only
+  HBM traffic is zero -- channel LLRs are read once per tile and hard
+  decisions written once.
+* The grid runs over batch tiles; each tile iterates its own
+  ``lax.while_loop`` with per-codeword convergence masks and exits as soon as
+  all of ITS codewords pass the syndrome check -- finer-grained early
+  termination than whole-batch exit.
+* Check-node updates use exclusive prefix/suffix combines (product of tanh
+  for 'spa', min+sign for the min-sum family) with exactly the same clipping
+  constants as the XLA reference decoder (ldpc_tpu.ops.spa), so the two
+  decoders agree bit-for-bit in float32.
+
+The kernel implements the 'exact' check-node rule (input LLRs are negated
+into the log(p0/p1) domain outside); the 'legacy' reference-parity rule stays
+on the XLA path where bit-level compatibility matters more than speed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ldpc_tpu.models.qc import QCLayout
+from ldpc_tpu.ops.spa import (
+    LLR_WINDOW,
+    PROD_CLIP_F32,
+    TANH_IN_CLIP,
+    DecodeResult,
+)
+
+
+def _roll0(x: jax.Array, s: int, Z: int) -> jax.Array:
+    """y[r] = x[(r + s) % Z] along axis 0, static shift."""
+    s = s % Z
+    if s == 0:
+        return x
+    return jnp.concatenate([x[s:], x[:s]], axis=0)
+
+
+def _exclusive_combine(values, op, identity=None):
+    """Exclusive prefix/suffix combine of a static list (leave-one-out).
+    ``None`` is the symbolic identity (absorbed by ``op``)."""
+
+    def op2(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return op(a, b)
+
+    d = len(values)
+    prefix = [None] * d
+    suffix = [None] * d
+    for i in range(1, d):
+        prefix[i] = op2(prefix[i - 1], values[i - 1])
+        suffix[d - 1 - i] = op2(suffix[d - i], values[d - i])
+    return [op2(p, s) for p, s in zip(prefix, suffix)]
+
+
+def make_qc_decoder(
+    qc: QCLayout,
+    info_pos: np.ndarray,
+    max_iterations: int,
+    variant: str = "spa",
+    *,
+    alpha: float = 0.75,
+    beta: float = 0.15,
+    tile_b: int = 128,
+    interpret: bool = False,
+):
+    """Build ``decode(llr: f32 [B, n]) -> DecodeResult`` for a QC code.
+
+    ``llr`` follows the channel convention (LLR > 0 <=> bit 1); decoding uses
+    the exact parity rule. ``info_pos`` locates info bits for the
+    normalized-LLR metric.
+    """
+    variant = variant.lower().replace("-", "_")
+    if variant not in ("spa", "minsum", "normalized_minsum", "offset_minsum"):
+        raise ValueError(f"QC kernel does not support variant {variant!r}")
+
+    n, Z, nb, mb = qc.n, qc.Z, qc.nb, qc.mb
+    row_slots = qc.row_slots()  # per base row: [(bj, shift)]
+    col_slots = qc.col_slots()  # per base col: [(bi, slot, shift)]
+    k = int(np.asarray(info_pos).shape[0])
+    dcb = max((len(r) for r in row_slots), default=1)
+
+    info_mask = np.zeros((n, 1), dtype=np.float32)
+    info_mask[np.asarray(info_pos, dtype=np.int64), 0] = 1.0
+
+    def check_update(msgs):
+        """msgs: static list of [Z, TB] arrays -> extrinsic list (same shapes)."""
+        if variant == "spa":
+            ts = [
+                jnp.clip(
+                    jnp.tanh(jnp.clip(m * 0.5, -TANH_IN_CLIP, TANH_IN_CLIP)),
+                    -PROD_CLIP_F32,
+                    PROD_CLIP_F32,
+                )
+                for m in msgs
+            ]
+            excl = _exclusive_combine(ts, lambda a, b: a * b, None)
+
+            def fix(p):
+                return jnp.ones_like(msgs[0]) if p is None else p
+
+            def atanh2(p):
+                p = jnp.clip(p, -PROD_CLIP_F32, PROD_CLIP_F32)
+                return jnp.log((1.0 + p) / (1.0 - p))  # 2*atanh, Mosaic-safe
+
+            return [atanh2(fix(p)) for p in excl]
+        # min-sum family
+        sgns = [jnp.where(m < 0, -1.0, 1.0).astype(jnp.float32) for m in msgs]
+        mags = [jnp.abs(m) for m in msgs]
+        excl_sgn = _exclusive_combine(sgns, lambda a, b: a * b, None)
+        excl_mag = _exclusive_combine(mags, jnp.minimum, None)
+        out = []
+        for sg, mg in zip(excl_sgn, excl_mag):
+            sg = jnp.ones_like(msgs[0]) if sg is None else sg
+            mg = jnp.full_like(msgs[0], 1e30) if mg is None else mg
+            if variant == "normalized_minsum":
+                mg = alpha * mg
+            elif variant == "offset_minsum":
+                mg = jnp.maximum(mg - beta, 0.0)
+            out.append(sg * mg)
+        return out
+
+    def kernel(llr_ref, mask_ref, est_ref, ok_ref, conv_ref, norm_ref, iters_ref,
+               M_ref, E_ref, L_ref, prior_ref):
+        TB = tile_b
+
+        def llr_blk(j):
+            return llr_ref[pl.ds(j * Z, Z), :]
+
+        # init: M[i, slot] = llr at the connected variable (spa_decoder.py:88)
+        for bi in range(mb):
+            for slot, (bj, s) in enumerate(row_slots[bi]):
+                M_ref[bi, slot] = _roll0(llr_blk(bj), s, Z)
+        for bj in range(nb):
+            prior_ref[bj] = llr_blk(bj)
+
+        def body(carry):
+            # carries are f32/int32 vectors: Mosaic's while-loop layout
+            # inference rejects i1 vector carries
+            it, done_f, conv, norm = carry
+            active = done_f < 0.5  # bool [1, TB], True while undecoded
+
+            # ---- check-node update ----
+            for bi in range(mb):
+                msgs = [M_ref[bi, slot] for slot in range(len(row_slots[bi]))]
+                for slot, e in enumerate(check_update(msgs)):
+                    E_ref[bi, slot] = e
+
+            # ---- posterior per base column ----
+            for bj in range(nb):
+                acc = llr_blk(bj)
+                for bi, slot, s in col_slots[bj]:
+                    acc = acc + _roll0(E_ref[bi, slot], -s, Z)
+                L_ref[bj] = acc
+
+            # ---- syndrome + variable-node update (shared rolls) ----
+            any_unsat = jnp.zeros((1, TB), jnp.bool_)
+            for bi in range(mb):
+                parity = None
+                for slot, (bj, s) in enumerate(row_slots[bi]):
+                    l_edge = _roll0(L_ref[bj], s, Z)
+                    bit = l_edge < 0  # exact rule: bit 1 <=> log(p0/p1) < 0
+                    parity = bit if parity is None else parity ^ bit
+                    M_ref[bi, slot] = jnp.where(active, l_edge - E_ref[bi, slot],
+                                                M_ref[bi, slot])
+                any_unsat = any_unsat | jnp.any(parity, axis=0, keepdims=True)
+            ok_now = ~any_unsat  # [1, TB]
+
+            # ---- outputs, frozen once a codeword converges ----
+            flips = jnp.zeros((1, TB), jnp.float32)
+            for bj in range(nb):
+                L = L_ref[bj]
+                est_ref[pl.ds(bj * Z, Z), :] = jnp.where(
+                    active, (L < 0).astype(jnp.float32),
+                    est_ref[pl.ds(bj * Z, Z), :],
+                )
+                mask = mask_ref[pl.ds(bj * Z, Z), :]  # [Z, 1]
+                f = (jnp.abs(L) <= LLR_WINDOW) & (prior_ref[bj] * L < 0)
+                flips = flips + jnp.sum(
+                    f.astype(jnp.float32) * mask, axis=0, keepdims=True
+                )
+                prior_ref[bj] = jnp.where(active, L, prior_ref[bj])
+
+            norm = jnp.where(active, flips / max(k, 1), norm)
+            conv = jnp.where(active & ok_now, it, conv)
+            done_f = jnp.maximum(done_f, ok_now.astype(jnp.float32))
+            return (it + 1, done_f, conv, norm)
+
+        def cond(carry):
+            it, done_f, _, _ = carry
+            return (it < max_iterations) & (jnp.min(done_f) < 0.5)
+
+        init = (
+            jnp.int32(0),
+            jnp.zeros((1, TB), jnp.float32),
+            jnp.full((1, TB), -1, jnp.int32),
+            jnp.zeros((1, TB), jnp.float32),
+        )
+        it, done_f, conv, norm = jax.lax.while_loop(cond, body, init)
+        ok_ref[:] = done_f
+        conv_ref[:] = conv
+        norm_ref[:] = norm
+        iters_ref[:] = jnp.full((1, TB), it, jnp.int32)
+
+    grid_kernel = functools.partial(
+        pl.pallas_call,
+        kernel,
+        interpret=interpret,
+    )
+
+    mask_const = jnp.asarray(info_mask)
+
+    def decode(llr: jax.Array) -> DecodeResult:
+        B = llr.shape[0]
+        Bp = -(-B // tile_b) * tile_b
+        # negate into the log(p0/p1) domain (exact rule); lanes = codewords
+        llr_t = -llr.T.astype(jnp.float32)
+        if Bp != B:
+            llr_t = jnp.pad(llr_t, ((0, 0), (0, Bp - B)))
+        grid = (Bp // tile_b,)
+
+        est_f, ok_f, conv, norm, iters = grid_kernel(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((n, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((n, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, Bp), jnp.float32),
+                jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+                jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+                jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((mb, dcb, Z, tile_b), jnp.float32),  # M
+                pltpu.VMEM((mb, dcb, Z, tile_b), jnp.float32),  # E
+                pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # L
+                pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # prior
+            ],
+        )(llr_t, mask_const)
+
+        est = est_f.T[:B].astype(jnp.uint8)
+        return DecodeResult(
+            ok=ok_f[0, :B] > 0,
+            est=est,
+            conv_iter=conv[0, :B],
+            norm_llr=norm[0, :B],
+            iters_run=jnp.max(iters),
+        )
+
+    return decode
+
+
+def pick_tile_b(qc: QCLayout, vmem_budget: int = 12 << 20) -> int:
+    """Largest power-of-two lane tile whose scratch fits the VMEM budget."""
+    row_slots = qc.row_slots()
+    dcb = max((len(r) for r in row_slots), default=1)
+    per_lane = 4 * (2 * qc.mb * dcb * qc.Z + 2 * qc.nb * qc.Z + 2 * qc.n)
+    tb = 512
+    while tb > 128 and tb * per_lane > vmem_budget:
+        tb //= 2
+    return tb

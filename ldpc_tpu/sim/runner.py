@@ -40,6 +40,60 @@ def load_code(path: str) -> LDPCCode:
     return LDPCCode(path)
 
 
+_PALLAS_VARIANTS = ("spa", "minsum", "normalized_minsum", "offset_minsum")
+
+
+def _select_decoder(code, opts, layout, info_pos, max_iterations):
+    """Pick the decode kernel: the fused QC Pallas kernel when the code is
+    quasi-cyclic and the configuration supports it, else the XLA decoder.
+    Both produce bit-identical results (see tests/test_pallas.py)."""
+    variant = opts.decoder_variant
+    on_tpu = jax.default_backend() == "tpu"
+    want = opts.kernel
+    eligible = (
+        variant in _PALLAS_VARIANTS
+        and opts.check_rule == "exact"
+        and opts.decode_graph in ("orig", "original")
+        and code.qc is not None
+    )
+    use_pallas = (want == "pallas" and eligible) or (
+        want == "auto" and eligible and on_tpu
+    )
+    if want == "pallas" and not eligible:
+        raise ValueError(
+            "kernel='pallas' requires a quasi-cyclic code, check_rule='exact', "
+            "decode_graph='orig' and an SPA/min-sum variant"
+        )
+    if use_pallas:
+        from ldpc_tpu.ops.spa_pallas import make_qc_decoder, pick_tile_b
+
+        return (
+            make_qc_decoder(
+                code.qc,
+                info_pos,
+                max_iterations,
+                variant,
+                alpha=opts.minsum_alpha,
+                beta=opts.minsum_beta,
+                tile_b=pick_tile_b(code.qc),
+                interpret=not on_tpu,
+            ),
+            "pallas",
+        )
+    return (
+        make_decoder(
+            layout,
+            info_pos,
+            max_iterations,
+            variant,
+            rule=opts.check_rule,
+            alpha=opts.minsum_alpha,
+            beta=opts.minsum_beta,
+        ),
+        "xla",
+    )
+
+
 @dataclass
 class PointStats:
     """Host-side aggregate for one SNR point."""
@@ -102,14 +156,8 @@ class PointExecutor:
             il_kind, code.n, s_param=opts.s_param, seed=opts.seed
         )
         channel = make_channel_fn(opts.mode, self.modulation)
-        decode = make_decoder(
-            layout,
-            info_pos,
-            self.max_iterations,
-            opts.decoder_variant,
-            rule=opts.check_rule,
-            alpha=opts.minsum_alpha,
-            beta=opts.minsum_beta,
+        decode, self.kernel_used = _select_decoder(
+            code, opts, layout, info_pos, self.max_iterations
         )
         k = code.k
         batch = self.batch
