@@ -158,8 +158,15 @@ def options_from_args(args: argparse.Namespace) -> SimOptions:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
-    if not os.path.exists(args.matrix):
-        print(f"Error: matrix file not found: {args.matrix}")
+    try:
+        from ldpc_tpu.utils.db import resolve_matrix
+
+        resolve_matrix(args.matrix)
+    except FileNotFoundError:
+        print(
+            f"Error: matrix not found: {args.matrix} (not a file, not in the "
+            f"matrix database, not a built-in standard code)"
+        )
         return 1
 
     opts = options_from_args(args).resolved()
@@ -202,8 +209,9 @@ def main(argv: list[str] | None = None) -> int:
             from ldpc_tpu.sim.adaptive import AdaptiveController, ThresholdStrategy
 
             matrix_dir = opts.matrix_dir
-            if matrix_dir is None:
+            if matrix_dir is None and os.path.isfile(opts.matrix):
                 matrix_dir = os.path.join(os.path.dirname(os.path.abspath(opts.matrix)), "..")
+            # with no directory the catalog serves the built-in standard codes
             catalog = MatrixCatalog(matrix_dir)
             strategy = ThresholdStrategy(
                 high_ber_threshold=opts.adaptive_high_ber,

@@ -68,6 +68,16 @@ _PATTERNS = [
         re.compile(r"LDPC_N(\d+)_K(\d+)"),
         lambda g: _from_n_k(int(g[0]), int(g[1]), "custom"),
     ),
+    # ieee_802_11ad_p42_n672_r081.alist.txt (rate 13/16)
+    (
+        re.compile(r"ieee_802_11ad_p\d+_n(\d+)_r\d+\.alist\.txt"),
+        lambda g: _from_n_k(int(g[0]), int(g[0]) * 13 // 16, "wigig"),
+    ),
+    # wimaxlike_N192_K96_P8_set0.txt
+    (
+        re.compile(r"wimaxlike_N(\d+)_K(\d+)_P\d+_set\d+\.txt"),
+        lambda g: _from_n_k(int(g[0]), int(g[1]), "custom"),
+    ),
 ]
 
 
@@ -81,12 +91,35 @@ def _from_n_k(n: int, k: int, family: str) -> tuple[int, int, float, str]:
 
 
 class MatrixCatalog:
-    """Registry of available LDPC matrices, indexed by properties."""
+    """Registry of available LDPC matrices, indexed by properties.
 
-    def __init__(self, base_dir: str):
+    Sources: an ALIST directory tree (the reference's only source,
+    matrix_catalog.py:30-39) and/or the built-in standard code registry
+    (ldpc_tpu.models.standards, paths ``builtin:<name>``). With no directory,
+    the catalog is fully populated from builtins, so adaptive rate switching
+    works with no database on disk.
+    """
+
+    def __init__(self, base_dir: str | None = None, include_builtin: bool | None = None):
         self.matrices: list[MatrixInfo] = []
-        self._scan_directory(base_dir)
+        scanned = False
+        if base_dir is not None and os.path.isdir(base_dir):
+            self._scan_directory(base_dir)
+            scanned = True
+        if include_builtin or (include_builtin is None and not scanned):
+            self._add_builtins()
         self.matrices.sort(key=lambda m: (m.family, m.rate, m.n))
+
+    def _add_builtins(self) -> None:
+        from ldpc_tpu.models import standards
+
+        known = {m.name for m in self.matrices}
+        for name in standards.builtin_names():
+            if name in known:
+                continue
+            info = self._parse_filename(f"builtin:{name}", name)
+            if info:
+                self.matrices.append(info)
 
     def _scan_directory(self, base_dir: str) -> None:
         for root, _dirs, files in os.walk(base_dir):
@@ -178,6 +211,13 @@ class MatrixCatalog:
         target = os.path.abspath(matrix_path)
         for m in self.matrices:
             if os.path.abspath(m.path) == target:
+                return m
+        # fall back to basename matching (builtin: URIs, bare DB names)
+        base = os.path.basename(matrix_path[len("builtin:"):]
+                                if matrix_path.startswith("builtin:")
+                                else matrix_path)
+        for m in self.matrices:
+            if m.name == base:
                 return m
         return None
 

@@ -37,7 +37,17 @@ from ldpc_tpu.sim.results import SimulationConfig, SimulationResult, SNRPointRes
 
 @lru_cache(maxsize=16)
 def load_code(path: str) -> LDPCCode:
-    return LDPCCode(path)
+    """Load a code from a file path, database basename, or built-in name
+    (see ldpc_tpu.utils.db.resolve_matrix)."""
+    from ldpc_tpu.utils.db import resolve_matrix
+
+    resolved = resolve_matrix(path)
+    if resolved.startswith("builtin:"):
+        from ldpc_tpu.models import standards
+
+        name = resolved[len("builtin:"):]
+        return LDPCCode(alist=standards.make_builtin(name), name=name)
+    return LDPCCode(resolved)
 
 
 _PALLAS_VARIANTS = ("spa", "minsum", "normalized_minsum", "offset_minsum")

@@ -36,3 +36,28 @@ def find_matrix(name: str, db: str | None = None) -> str | None:
         if name in files:
             return os.path.join(root, name)
     return None
+
+
+def resolve_matrix(name: str) -> str:
+    """Resolve a --matrix argument to a loadable source.
+
+    Resolution order: explicit ``builtin:`` URI -> existing file path ->
+    basename found under the matrix database -> built-in standard code with
+    that canonical name (ldpc_tpu.models.standards) -> error. The returned
+    string is either a filesystem path or ``builtin:<name>``.
+    """
+    from ldpc_tpu.models import standards
+
+    if name.startswith("builtin:"):
+        if not standards.is_builtin(name):
+            raise FileNotFoundError(f"Unknown built-in code: {name}")
+        return name
+    found = find_matrix(name)
+    if found is not None:
+        return found
+    if standards.is_builtin(name):
+        return f"builtin:{os.path.basename(name)}"
+    raise FileNotFoundError(
+        f"Matrix {name!r}: not a file, not under the matrix database, and not "
+        f"a built-in standard code"
+    )
