@@ -109,6 +109,19 @@ Examples:
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed")
     parser.add_argument("--exact-ber", action="store_true",
                         help="Count undetected-error bits too (reference counts only failed frames)")
+    parser.add_argument("--kernel", type=str, choices=["auto", "pallas", "xla"],
+                        default="auto",
+                        help="Decode kernel: fused Pallas QC kernel or XLA gather decoder")
+    parser.add_argument("--minsum-alpha", type=float, default=0.75,
+                        help="Normalized min-sum scale factor")
+    parser.add_argument("--minsum-beta", type=float, default=0.15,
+                        help="Offset min-sum offset")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="JSON checkpoint file, flushed after every SNR point")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume the sweep from --checkpoint (skips completed points)")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="Capture a jax.profiler trace of the sweep into this directory")
     parser.add_argument("--quiet", "-q", action="store_true")
     return parser
 
@@ -151,6 +164,12 @@ def options_from_args(args: argparse.Namespace) -> SimOptions:
         batch=args.batch,
         seed=args.seed,
         exact_ber=args.exact_ber,
+        kernel=args.kernel,
+        minsum_alpha=args.minsum_alpha,
+        minsum_beta=args.minsum_beta,
+        checkpoint=args.checkpoint,
+        resume=args.resume,
+        profile=args.profile,
         quiet=args.quiet,
     )
 

@@ -27,6 +27,7 @@ from ldpc_tpu.sim.results import SimulationResult, SNRPointResult
 from ldpc_tpu.sim.runner import (
     PointExecutor,
     build_point_result,
+    load_checkpoint,
     load_code,
     make_sim_config,
     snr_steps,
@@ -180,11 +181,25 @@ class AdaptiveController:
 
         snr_points: list[SNRPointResult] = []
         adaptation_log: list[dict] = []
+        config = make_sim_config(opts, initial_code)
+        prior = load_checkpoint(opts, config, say)
+        if prior:
+            # replay the strategy over the completed points: adaptation is a
+            # deterministic function of (initial state, point results), so the
+            # resumed state matches an uninterrupted run exactly
+            snr_points = list(prior.snr_points)
+            adaptation_log = list(prior.adaptation_log)
+            for point in snr_points:
+                action = self.strategy.evaluate(state, point)
+                if action:
+                    self._apply_action(action, state, lambda *a, **kw: None)
 
         say("Processing blocks across SNR points (adaptive mode)...")
         for idx, snr in enumerate(
             snr_steps(opts.initial_snr, opts.end_snr, opts.step_snr)
         ):
+            if idx < len(snr_points):
+                continue  # completed before resume
             say(
                 f"\nSNR: {snr:.2f} dB  [rate={state.current_rate:.3f}, "
                 f"mod={'BPSK' if state.current_modulation == 1 else 'QPSK'}, "
@@ -231,8 +246,16 @@ class AdaptiveController:
                 say(f"  [Adaptive] {action.reason}")
                 self._apply_action(action, state, say)
 
+            if opts.checkpoint:
+                SimulationResult(
+                    config=config,
+                    snr_points=snr_points,
+                    wall_clock_seconds=time.time() - start,
+                    adaptation_log=adaptation_log,
+                ).to_json(opts.checkpoint)
+
         result = SimulationResult(
-            config=make_sim_config(opts, initial_code),
+            config=config,
             snr_points=snr_points,
             wall_clock_seconds=time.time() - start,
             adaptation_log=adaptation_log,

@@ -93,6 +93,11 @@ class SimOptions:
     minsum_beta: float = 0.15
     quiet: bool = False
 
+    # --- checkpoint / observability (absent in the reference, SURVEY.md S5) ---
+    checkpoint: str | None = None  # JSON file flushed after every SNR point
+    resume: bool = False  # resume a sweep from the checkpoint file
+    profile: str | None = None  # jax.profiler trace directory for the sweep
+
     def resolved(self) -> "SimOptions":
         """Fill fidelity-derived fields."""
         if self.fidelity not in ("reference", "exact"):

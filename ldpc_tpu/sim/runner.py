@@ -318,6 +318,49 @@ def make_sim_config(opts: SimOptions, code: LDPCCode) -> SimulationConfig:
     )
 
 
+def sweep_fingerprint(config: SimulationConfig) -> tuple:
+    """Sweep-defining identity of a run: a checkpoint resumes only a sweep
+    with identical code / stats / decoder configuration (timestamp, device,
+    and wall clock are excluded)."""
+    return (
+        config.matrix_path, config.n, config.m, config.k,
+        config.blocks, config.max_iterations, config.encoding_method,
+        config.interleaver_type, config.decoder_type, config.channel_mode,
+        config.modulation, config.speed, tuple(config.snr_range),
+        config.interference_snr, config.p, config.fidelity,
+        config.decode_graph, config.check_rule, config.noise_model,
+        config.seed,
+    )
+
+
+def load_checkpoint(
+    opts: SimOptions, config: SimulationConfig, say
+) -> SimulationResult | None:
+    """Prior partial result from opts.checkpoint, or None when absent/foreign."""
+    import os
+
+    if not (opts.checkpoint and opts.resume and os.path.exists(opts.checkpoint)):
+        return None
+    prior = SimulationResult.from_json(opts.checkpoint)
+    if sweep_fingerprint(prior.config) != sweep_fingerprint(config):
+        say(
+            f"Checkpoint {opts.checkpoint} belongs to a different sweep "
+            f"configuration; starting fresh."
+        )
+        return None
+    say(f"Resuming from {opts.checkpoint}: {len(prior.snr_points)} points done")
+    return prior
+
+
+def _profiled_sweep(profile_dir: str | None):
+    """jax.profiler trace around the sweep when --profile is set."""
+    import contextlib
+
+    if profile_dir:
+        return jax.profiler.trace(profile_dir)
+    return contextlib.nullcontext()
+
+
 def run_simulation(
     opts: SimOptions,
     code: LDPCCode | None = None,
@@ -333,25 +376,45 @@ def run_simulation(
     base_key = jax.random.key(opts.seed)
 
     say = (lambda *a, **kw: None) if opts.quiet else print
+    config = make_sim_config(opts, code)
+    prior = load_checkpoint(opts, config, say)
+    snr_points: list[SNRPointResult] = list(prior.snr_points) if prior else []
+
     say("Processing blocks across SNR points...")
     say("-" * 60)
 
-    snr_points: list[SNRPointResult] = []
-    for idx, snr in enumerate(snr_steps(opts.initial_snr, opts.end_snr, opts.step_snr)):
-        say(f"\nSNR: {snr:.2f} dB")
-        stats = executor.run_point(snr, opts.blocks, base_key, idx)
-        point = build_point_result(snr, stats, opts, code.k)
-        snr_points.append(point)
-        if opts.normalized_llr:
-            say(f"  Normalized LLR: {point.avg_normalized_llr:.6f}")
-        if opts.fer:
-            say(f"  FER: {point.fer:.6f}")
-        if opts.ber:
-            say(f"  BER: {point.ber:.6f}")
-        say(
-            f"  Decoded OK: {point.successful_blocks}/{point.total_blocks} "
-            f"({100.0 * point.successful_blocks / max(point.total_blocks, 1):.2f}%)"
-        )
+    with _profiled_sweep(opts.profile):
+        for idx, snr in enumerate(
+            snr_steps(opts.initial_snr, opts.end_snr, opts.step_snr)
+        ):
+            if idx < len(snr_points):
+                continue  # completed before resume
+            say(f"\nSNR: {snr:.2f} dB")
+            t_point = time.time()
+            stats = executor.run_point(snr, opts.blocks, base_key, idx)
+            point_s = time.time() - t_point
+            point = build_point_result(snr, stats, opts, code.k)
+            snr_points.append(point)
+            if opts.normalized_llr:
+                say(f"  Normalized LLR: {point.avg_normalized_llr:.6f}")
+            if opts.fer:
+                say(f"  FER: {point.fer:.6f}")
+            if opts.ber:
+                say(f"  BER: {point.ber:.6f}")
+            say(
+                f"  Decoded OK: {point.successful_blocks}/{point.total_blocks} "
+                f"({100.0 * point.successful_blocks / max(point.total_blocks, 1):.2f}%)"
+            )
+            say(
+                f"  Throughput: {stats.blocks / point_s:,.0f} codewords/s "
+                f"({stats.blocks * code.k / point_s:,.0f} info bits/s)"
+            )
+            if opts.checkpoint:
+                SimulationResult(
+                    config=config,
+                    snr_points=snr_points,
+                    wall_clock_seconds=time.time() - start_time,
+                ).to_json(opts.checkpoint)
 
     say()
     say("=" * 60)
@@ -370,7 +433,7 @@ def run_simulation(
     say("=" * 60)
 
     return SimulationResult(
-        config=make_sim_config(opts, code),
+        config=config,
         snr_points=snr_points,
         wall_clock_seconds=time.time() - start_time,
     )

@@ -1,0 +1,105 @@
+"""Checkpoint / resume of SNR sweeps (absent in the reference -- SURVEY.md S5.4).
+
+Because per-point PRNG keys fold by point index, resuming from a truncated
+checkpoint must reproduce an uninterrupted run EXACTLY.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ldpc_tpu.sim.config import SimOptions
+from ldpc_tpu.sim.results import SimulationResult
+from ldpc_tpu.sim.runner import run_simulation, sweep_fingerprint
+
+
+def _opts(tmp_path, **kw) -> SimOptions:
+    base = dict(
+        matrix="builtin:BCH_7_4_1_strip.alist.txt",
+        blocks=64,
+        iterations=5,
+        ber=True,
+        fer=True,
+        initial_snr=0.0,
+        end_snr=2.0,
+        step_snr=1.0,
+        fidelity="exact",
+        batch=64,
+        seed=3,
+        quiet=True,
+    )
+    base.update(kw)
+    return SimOptions(**base)
+
+
+def _points(r: SimulationResult):
+    return [(p.snr_db, p.ber, p.fer, p.total_blocks) for p in r.snr_points]
+
+
+def test_checkpoint_written_every_point(tmp_path):
+    ckpt = str(tmp_path / "ck.json")
+    full = run_simulation(_opts(tmp_path, checkpoint=ckpt))
+    assert os.path.exists(ckpt)
+    saved = SimulationResult.from_json(ckpt)
+    assert _points(saved) == _points(full)
+    assert sweep_fingerprint(saved.config) == sweep_fingerprint(full.config)
+
+
+def test_resume_reproduces_uninterrupted_run(tmp_path):
+    ckpt = str(tmp_path / "ck.json")
+    full = run_simulation(_opts(tmp_path, checkpoint=ckpt))
+
+    # simulate an interruption: keep only the first point
+    saved = json.load(open(ckpt))
+    saved["snr_points"] = saved["snr_points"][:1]
+    json.dump(saved, open(ckpt, "w"))
+
+    resumed = run_simulation(_opts(tmp_path, checkpoint=ckpt, resume=True))
+    assert _points(resumed) == _points(full)
+
+
+def test_resume_rejects_foreign_checkpoint(tmp_path, capsys):
+    ckpt = str(tmp_path / "ck.json")
+    run_simulation(_opts(tmp_path, checkpoint=ckpt))
+    # different seed -> different sweep identity -> fresh start
+    r = run_simulation(_opts(tmp_path, checkpoint=ckpt, resume=True, seed=4,
+                             quiet=False))
+    out = capsys.readouterr().out
+    assert "different sweep" in out
+    assert len(r.snr_points) == 3
+
+
+def test_adaptive_resume_replays_state(tmp_path):
+    from ldpc_tpu.models.catalog import MatrixCatalog
+    from ldpc_tpu.sim.adaptive import AdaptiveController, ThresholdStrategy
+
+    ckpt = str(tmp_path / "ck.json")
+    opts = _opts(
+        tmp_path,
+        matrix="builtin:wimax_576_0.5.alist.txt",
+        blocks=32,
+        batch=32,
+        initial_snr=0.0,
+        end_snr=2.0,
+        step_snr=1.0,
+        adaptive=True,
+        checkpoint=ckpt,
+    )
+    catalog = MatrixCatalog(None)
+
+    full = AdaptiveController(ThresholdStrategy(), catalog).run_adaptive_sweep(opts)
+    assert full.adaptation_log  # at 0 dB the interleaver rule must fire
+
+    saved = json.load(open(ckpt))
+    saved["snr_points"] = saved["snr_points"][:1]
+    saved["adaptation_log"] = saved["adaptation_log"][:1]
+    json.dump(saved, open(ckpt, "w"))
+
+    resumed = AdaptiveController(ThresholdStrategy(), catalog).run_adaptive_sweep(
+        SimOptions(**{**opts.__dict__, "resume": True})
+    )
+    assert _points(resumed) == _points(full)
+    assert resumed.adaptation_log == full.adaptation_log
