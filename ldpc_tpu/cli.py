@@ -122,6 +122,10 @@ Examples:
                         help="Resume the sweep from --checkpoint (skips completed points)")
     parser.add_argument("--profile", type=str, default=None,
                         help="Capture a jax.profiler trace of the sweep into this directory")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="Device mesh axes, e.g. 'batch=8' or 'snr=2,batch=4'. "
+                             "With an 'snr' axis, all SNR points run in parallel "
+                             "(one axis may be -1 to absorb remaining devices)")
     parser.add_argument("--quiet", "-q", action="store_true")
     return parser
 
@@ -238,6 +242,19 @@ def main(argv: list[str] | None = None) -> int:
             )
             controller = AdaptiveController(strategy, catalog)
             sim_result = controller.run_adaptive_sweep(opts)
+        elif args.mesh:
+            from ldpc_tpu.parallel.mesh import make_mesh
+            from ldpc_tpu.sim.runner import run_simulation_parallel
+
+            axes = {}
+            for part in args.mesh.split(","):
+                name, _, size = part.partition("=")
+                axes[name.strip()] = int(size)
+            mesh = make_mesh(axes)
+            if "snr" in mesh.axis_names:
+                sim_result = run_simulation_parallel(opts, code=code, mesh=mesh)
+            else:
+                sim_result = run_simulation(opts, code=code, mesh=mesh)
         else:
             sim_result = run_simulation(opts, code=code)
 

@@ -437,3 +437,101 @@ def run_simulation(
         snr_points=snr_points,
         wall_clock_seconds=time.time() - start_time,
     )
+
+
+def run_simulation_parallel(
+    opts: SimOptions,
+    code: LDPCCode | None = None,
+    mesh: jax.sharding.Mesh | None = None,
+    snr_axis: str = "snr",
+) -> SimulationResult:
+    """SNR sweep with every point evaluated SIMULTANEOUSLY on the mesh.
+
+    The mesh carries ('snr', 'batch'): independent SNR points vectorize over
+    the 'snr' axis (vmap over stacked ChannelConsts) while each point's
+    codeword batch stays data-parallel over 'batch'. One jitted program
+    evaluates S points x B codewords per dispatch; counters psum on device.
+
+    PRNG keys fold exactly as the sequential runner's
+    (fold(fold(base, point_index), batch_index)), so this produces the SAME
+    SimulationResult as run_simulation -- the TPU-native answer to the
+    reference's sequential SNR loop (main.py:206).
+    """
+    from ldpc_tpu.parallel.mesh import make_mesh, sharded_sweep_step
+
+    opts = opts.resolved()
+    start_time = time.time()
+    if code is None:
+        code = load_code(opts.matrix)
+    if mesh is None:
+        mesh = make_mesh()  # all devices on 'batch'
+    say = (lambda *a, **kw: None) if opts.quiet else print
+
+    snrs = snr_steps(opts.initial_snr, opts.end_snr, opts.step_snr)
+    S = len(snrs)
+    s_shard = int(mesh.shape[snr_axis]) if snr_axis in mesh.axis_names else 1
+    Sp = -(-S // s_shard) * s_shard  # pad points to the snr-axis size
+
+    batch_axes = tuple(a for a in mesh.axis_names if a != snr_axis)
+    executor = PointExecutor(code, opts, mesh=mesh, batch_axes=batch_axes or ("batch",))
+    base_key = jax.random.key(opts.seed)
+
+    def consts_for(snr_db: float) -> ChannelConsts:
+        return ChannelParams(
+            mode=opts.mode,
+            modulation=opts.modulation,
+            speed=opts.speed,
+            snr_db=snr_db,
+            interference_snr_db=opts.interference_snr,
+            p=opts.p,
+            noise_model=opts.noise_model,
+        ).consts()
+
+    padded = snrs + [snrs[-1]] * (Sp - S)
+    consts_stack = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[consts_for(s) for s in padded]
+    )
+    point_keys = jnp.stack(
+        [jax.random.fold_in(base_key, i) for i in range(Sp)]
+    )
+
+    if snr_axis in mesh.axis_names:
+        sweep = sharded_sweep_step(
+            lambda k, c: executor._step(k, c), mesh, snr_axis
+        )
+    else:
+        sweep = jax.jit(jax.vmap(lambda k, c: executor._step(k, c)))
+    reduce_v = jax.jit(jax.vmap(executor._reduce, in_axes=(0, None)))
+
+    say(f"Evaluating {S} SNR points in parallel on mesh "
+        f"{dict(zip(mesh.axis_names, mesh.devices.shape))}...")
+
+    stats_list = [PointStats() for _ in range(Sp)]
+    remaining = opts.blocks
+    batch_idx = 0
+    while remaining > 0:
+        take = min(remaining, executor.batch)
+        keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+            point_keys, batch_idx
+        )
+        stats, iters_run = sweep(keys, consts_stack)
+        counters = reduce_v(stats, jnp.int32(take))
+        host = jax.tree.map(np.asarray, counters)
+        for s in range(Sp):
+            stats_list[s].add(jax.tree.map(lambda x: x[s], host))
+        executor.total_iters_run += int(np.max(np.asarray(iters_run)))
+        remaining -= take
+        batch_idx += 1
+
+    snr_points = [
+        build_point_result(snrs[s], stats_list[s], opts, code.k) for s in range(S)
+    ]
+    for p in snr_points:
+        say(f"SNR {p.snr_db:.2f} dB: BER={p.ber:.6f} FER={p.fer:.6f} "
+            f"ok={p.successful_blocks}/{p.total_blocks}")
+
+    return SimulationResult(
+        config=make_sim_config(opts, code),
+        snr_points=snr_points,
+        wall_clock_seconds=time.time() - start_time,
+    )

@@ -103,3 +103,64 @@ def test_run_point_on_mesh(small_code):
     stats = ex.run_point(3.0, 100, jax.random.key(3), 0)
     assert stats.blocks == 100
     assert 0 <= stats.ok_blocks <= 100
+
+
+def test_parallel_sweep_matches_sequential_exactly():
+    """run_simulation_parallel on a ('snr','batch') mesh must reproduce the
+    sequential runner point-for-point (identical PRNG key folding)."""
+    from ldpc_tpu.parallel.mesh import make_mesh
+    from ldpc_tpu.sim.config import SimOptions
+    from ldpc_tpu.sim.runner import run_simulation, run_simulation_parallel
+
+    opts = SimOptions(
+        matrix="builtin:CCSDS_ldpc_n32_k16.alist.txt",
+        blocks=128,
+        iterations=5,
+        ber=True,
+        fer=True,
+        normalized_llr=True,
+        initial_snr=0.0,
+        end_snr=2.0,
+        step_snr=1.0,  # 3 points; snr axis 2 -> padding path exercised
+        fidelity="exact",
+        batch=32,
+        seed=11,
+        quiet=True,
+    )
+    seq = run_simulation(opts)
+    mesh = make_mesh({"snr": 2, "batch": 4})
+    par = run_simulation_parallel(opts, mesh=mesh)
+
+    assert len(seq.snr_points) == len(par.snr_points) == 3
+    for a, b in zip(seq.snr_points, par.snr_points):
+        assert a.snr_db == b.snr_db
+        assert a.ber == b.ber
+        assert a.fer == b.fer
+        assert a.total_blocks == b.total_blocks
+        assert a.successful_blocks == b.successful_blocks
+        assert abs(a.avg_normalized_llr - b.avg_normalized_llr) < 1e-6
+
+
+def test_parallel_sweep_batch_only_mesh():
+    """Without an 'snr' axis the parallel runner vmaps points on one shard."""
+    from ldpc_tpu.parallel.mesh import make_mesh
+    from ldpc_tpu.sim.config import SimOptions
+    from ldpc_tpu.sim.runner import run_simulation_parallel
+
+    opts = SimOptions(
+        matrix="builtin:BCH_7_4_1_strip.alist.txt",
+        blocks=64,
+        iterations=4,
+        ber=True,
+        fer=True,
+        initial_snr=1.0,
+        end_snr=3.0,
+        step_snr=1.0,
+        fidelity="exact",
+        batch=64,
+        seed=5,
+        quiet=True,
+    )
+    res = run_simulation_parallel(opts, mesh=make_mesh({"batch": 8}))
+    assert len(res.snr_points) == 3
+    assert all(p.total_blocks == 64 for p in res.snr_points)
