@@ -122,6 +122,16 @@ Examples:
                         help="Resume the sweep from --checkpoint (skips completed points)")
     parser.add_argument("--profile", type=str, default=None,
                         help="Capture a jax.profiler trace of the sweep into this directory")
+    parser.add_argument("--straggler", type=str, choices=["auto", "on", "off"],
+                        default="off",
+                        help="Two-phase straggler compaction: screen the batch with "
+                             "a short iteration budget, re-decode only failures at "
+                             "full budget (bit-identical results)")
+    parser.add_argument("--screen-iters", type=int, default=0,
+                        help="Phase-1 iteration budget for straggler compaction "
+                             "(0 = 60%% of max iterations)")
+    parser.add_argument("--straggler-frac", type=float, default=0.125,
+                        help="Phase-2 capacity as a fraction of the device batch")
     parser.add_argument("--mesh", type=str, default=None,
                         help="Device mesh axes, e.g. 'batch=8' or 'snr=2,batch=4'. "
                              "With an 'snr' axis, all SNR points run in parallel "
@@ -174,6 +184,9 @@ def options_from_args(args: argparse.Namespace) -> SimOptions:
         checkpoint=args.checkpoint,
         resume=args.resume,
         profile=args.profile,
+        straggler=args.straggler,
+        screen_iters=args.screen_iters,
+        straggler_frac=args.straggler_frac,
         quiet=args.quiet,
     )
 

@@ -53,10 +53,13 @@ def load_code(path: str) -> LDPCCode:
 _PALLAS_VARIANTS = ("spa", "minsum", "normalized_minsum", "offset_minsum")
 
 
-def _select_decoder(code, opts, layout, info_pos, max_iterations):
+def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
     """Pick the decode kernel: the fused QC Pallas kernel when the code is
     quasi-cyclic and the configuration supports it, else the XLA decoder.
-    Both produce bit-identical results (see tests/test_pallas.py)."""
+    Both produce bit-identical results (see tests/test_pallas.py). With
+    two-phase straggler compaction enabled, the kernel is built at two
+    iteration budgets and wrapped (ldpc_tpu.ops.straggler) -- still
+    bit-identical to a single full-budget pass."""
     variant = opts.decoder_variant
     on_tpu = jax.default_backend() == "tpu"
     want = opts.kernel
@@ -74,34 +77,49 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations):
             "kernel='pallas' requires a quasi-cyclic code, check_rule='exact', "
             "decode_graph='orig' and an SPA/min-sum variant"
         )
-    if use_pallas:
-        from ldpc_tpu.ops.spa_pallas import make_qc_decoder, pick_tile_b
 
-        return (
-            make_qc_decoder(
+    def build(iters):
+        if use_pallas:
+            from ldpc_tpu.ops.spa_pallas import make_qc_decoder, pick_tile_b
+
+            return make_qc_decoder(
                 code.qc,
                 info_pos,
-                max_iterations,
+                iters,
                 variant,
                 alpha=opts.minsum_alpha,
                 beta=opts.minsum_beta,
                 tile_b=pick_tile_b(code.qc),
                 interpret=not on_tpu,
-            ),
-            "pallas",
-        )
-    return (
-        make_decoder(
+            )
+        return make_decoder(
             layout,
             info_pos,
-            max_iterations,
+            iters,
             variant,
             rule=opts.check_rule,
             alpha=opts.minsum_alpha,
             beta=opts.minsum_beta,
-        ),
-        "xla",
+        )
+
+    kind = "pallas" if use_pallas else "xla"
+    screen = opts.screen_iters or max(4, (6 * max_iterations) // 10)
+    two_phase = opts.straggler == "on" or (
+        opts.straggler == "auto" and max_iterations > screen and batch >= 512
     )
+    if two_phase and max_iterations > screen:
+        from ldpc_tpu.ops.straggler import make_straggler_decoder
+
+        capacity = max(128, int(batch * opts.straggler_frac))
+        capacity = -(-capacity // 128) * 128  # tile multiple for the kernel
+        full = build(max_iterations)
+        return (
+            make_straggler_decoder(build(screen), full, capacity),
+            kind + "+straggler",
+            full,
+        )
+    dec = build(max_iterations)
+    return dec, kind, dec
 
 
 @dataclass
@@ -166,8 +184,8 @@ class PointExecutor:
             il_kind, code.n, s_param=opts.s_param, seed=opts.seed
         )
         channel = make_channel_fn(opts.mode, self.modulation)
-        decode, self.kernel_used = _select_decoder(
-            code, opts, layout, info_pos, self.max_iterations
+        decode, self.kernel_used, decode_plain = _select_decoder(
+            code, opts, layout, info_pos, self.max_iterations, batch=self.batch
         )
         k = code.k
         batch = self.batch
@@ -180,27 +198,42 @@ class PointExecutor:
         else:
             sharding = None
 
-        def step(key: jax.Array, consts: ChannelConsts):
-            k_u, k_il, k_ch = jax.random.split(key, 3)
-            u = random_info_bits(k_u, batch, k)
-            if sharding is not None:
-                u = jax.lax.with_sharding_constraint(u, sharding)
-            w = encode(u)
-            w_int, il_state = interleave(k_il, w)
-            llr = channel(k_ch, w_int, consts)
-            llr = deinterleave(il_state, llr)
-            res = decode(llr)
-            # NOTE: per-codeword stats stay unreduced here -- reducing
-            # while-loop outputs to scalars in the same XLA program costs
-            # minutes of compile time; the reduction runs in _reduce below.
-            stats = block_stats(u, res, self._info_pos, exact=exact_ber)
-            return stats, res.iters_run
+        def make_step(dec):
+            def step(key: jax.Array, consts: ChannelConsts):
+                k_u, k_il, k_ch = jax.random.split(key, 3)
+                u = random_info_bits(k_u, batch, k)
+                if sharding is not None:
+                    u = jax.lax.with_sharding_constraint(u, sharding)
+                w = encode(u)
+                w_int, il_state = interleave(k_il, w)
+                llr = channel(k_ch, w_int, consts)
+                llr = deinterleave(il_state, llr)
+                res = dec(llr)
+                # NOTE: per-codeword stats stay unreduced here -- reducing
+                # while-loop outputs to scalars in the same XLA program costs
+                # minutes of compile time; the reduction runs in _reduce below.
+                stats = block_stats(u, res, self._info_pos, exact=exact_ber)
+                return stats, res.iters_run
+
+            return step
 
         def reduce(stats, valid_count: jax.Array) -> BlockCounters:
             valid = jnp.arange(batch) < valid_count
             return reduce_block_stats(stats, valid)
 
-        self._step = jax.jit(step)
+        self._step = jax.jit(make_step(decode))
+        # plain full-budget step: used for the first batch of every SNR point
+        # (and for the rest of a point whose failure rate would overflow the
+        # straggler compaction capacity -- deep-waterfall points)
+        self._step_plain = (
+            jax.jit(make_step(decode_plain)) if decode_plain is not decode
+            else self._step
+        )
+        self._two_phase = decode_plain is not decode
+        # straggler pays off only when phase-2 capacity comfortably covers the
+        # screen survivors; empirically survivors ~= 10x the final FER, so
+        # gate on first-batch FER < frac / 10
+        self._straggler_fer_gate = opts.straggler_frac / 10.0
         self._reduce = jax.jit(reduce)
         self.total_iters_run = 0
 
@@ -224,14 +257,19 @@ class PointExecutor:
         stats = PointStats()
         remaining = blocks
         batch_idx = 0
+        step = self._step_plain  # first batch probes the point's failure rate
         while remaining > 0:
             take = min(remaining, self.batch)
             key = jax.random.fold_in(key_point, batch_idx)
-            block, iters_run = self._step(key, consts)
+            block, iters_run = step(key, consts)
             counters = self._reduce(block, jnp.int32(take))
             stats.add(jax.tree.map(np.asarray, counters))
             self.total_iters_run += int(iters_run)
             remaining -= take
+            if batch_idx == 0 and self._two_phase and remaining > 0:
+                fer_est = stats.fer_frames / max(stats.blocks, 1)
+                if fer_est < self._straggler_fer_gate:
+                    step = self._step  # straggler compaction for the rest
             batch_idx += 1
         return stats
 
