@@ -132,6 +132,11 @@ Examples:
                              "(0 = 60%% of max iterations)")
     parser.add_argument("--straggler-frac", type=float, default=0.125,
                         help="Phase-2 capacity as a fraction of the device batch")
+    parser.add_argument("--distributed", action="store_true",
+                        help="Initialize jax.distributed (multi-host) before "
+                             "building the device mesh; see "
+                             "ldpc_tpu/parallel/distributed.py for the launch "
+                             "pattern")
     parser.add_argument("--mesh", type=str, default=None,
                         help="Device mesh axes, e.g. 'batch=8' or 'snr=2,batch=4'. "
                              "With an 'snr' axis, all SNR points run in parallel "
@@ -193,6 +198,11 @@ def options_from_args(args: argparse.Namespace) -> SimOptions:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.distributed:
+        from ldpc_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed()
 
     try:
         from ldpc_tpu.utils.db import resolve_matrix
