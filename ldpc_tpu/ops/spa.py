@@ -76,6 +76,30 @@ def _signs(x: jax.Array) -> jax.Array:
     return jnp.where(x < 0, -1.0, 1.0).astype(x.dtype)
 
 
+def exclusive_combine(values, op):
+    """Exclusive prefix/suffix combine of a static list (leave-one-out).
+
+    ``None`` marks the symbolic identity. Shared by the Pallas kernel and the
+    jnp layered decoder so both evaluate float reductions in the SAME
+    association order -- a precondition for bit-identical results.
+    """
+
+    def op2(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return op(a, b)
+
+    d = len(values)
+    prefix = [None] * d
+    suffix = [None] * d
+    for i in range(1, d):
+        prefix[i] = op2(prefix[i - 1], values[i - 1])
+        suffix[d - 1 - i] = op2(suffix[d - i], values[d - i])
+    return [op2(p, s) for p, s in zip(prefix, suffix)]
+
+
 def make_decoder(
     layout,
     info_pos: np.ndarray,

@@ -41,6 +41,7 @@ from ldpc_tpu.ops.spa import (
     PROD_CLIP_F32,
     TANH_IN_CLIP,
     DecodeResult,
+    exclusive_combine,
 )
 
 
@@ -52,24 +53,7 @@ def _roll0(x: jax.Array, s: int, Z: int) -> jax.Array:
     return jnp.concatenate([x[s:], x[:s]], axis=0)
 
 
-def _exclusive_combine(values, op, identity=None):
-    """Exclusive prefix/suffix combine of a static list (leave-one-out).
-    ``None`` is the symbolic identity (absorbed by ``op``)."""
-
-    def op2(a, b):
-        if a is None:
-            return b
-        if b is None:
-            return a
-        return op(a, b)
-
-    d = len(values)
-    prefix = [None] * d
-    suffix = [None] * d
-    for i in range(1, d):
-        prefix[i] = op2(prefix[i - 1], values[i - 1])
-        suffix[d - 1 - i] = op2(suffix[d - i], values[d - i])
-    return [op2(p, s) for p, s in zip(prefix, suffix)]
+_exclusive_combine = exclusive_combine
 
 
 def make_qc_decoder(
@@ -82,16 +66,24 @@ def make_qc_decoder(
     beta: float = 0.15,
     tile_b: int = 128,
     interpret: bool = False,
+    schedule: str = "flooding",
 ):
     """Build ``decode(llr: f32 [B, n]) -> DecodeResult`` for a QC code.
 
     ``llr`` follows the channel convention (LLR > 0 <=> bit 1); decoding uses
     the exact parity rule. ``info_pos`` locates info bits for the
     normalized-LLR metric.
+
+    ``schedule``: 'flooding' (all check nodes in parallel, matches the
+    reference's schedule) or 'layered' (serial-C: one sweep over base rows
+    with in-place posterior updates -- ~2x fewer iterations to a given FER;
+    bit-identical to ldpc_tpu.ops.layered's jnp implementation).
     """
     variant = variant.lower().replace("-", "_")
     if variant not in ("spa", "minsum", "normalized_minsum", "offset_minsum"):
         raise ValueError(f"QC kernel does not support variant {variant!r}")
+    if schedule not in ("flooding", "layered"):
+        raise ValueError(f"Unknown schedule: {schedule!r}")
 
     n, Z, nb, mb = qc.n, qc.Z, qc.nb, qc.mb
     row_slots = qc.row_slots()  # per base row: [(bj, shift)]
@@ -113,7 +105,7 @@ def make_qc_decoder(
                 )
                 for m in msgs
             ]
-            excl = _exclusive_combine(ts, lambda a, b: a * b, None)
+            excl = _exclusive_combine(ts, lambda a, b: a * b)
 
             def fix(p):
                 return jnp.ones_like(msgs[0]) if p is None else p
@@ -126,8 +118,8 @@ def make_qc_decoder(
         # min-sum family
         sgns = [jnp.where(m < 0, -1.0, 1.0).astype(jnp.float32) for m in msgs]
         mags = [jnp.abs(m) for m in msgs]
-        excl_sgn = _exclusive_combine(sgns, lambda a, b: a * b, None)
-        excl_mag = _exclusive_combine(mags, jnp.minimum, None)
+        excl_sgn = _exclusive_combine(sgns, lambda a, b: a * b)
+        excl_mag = _exclusive_combine(mags, jnp.minimum)
         out = []
         for sg, mg in zip(excl_sgn, excl_mag):
             sg = jnp.ones_like(msgs[0]) if sg is None else sg
@@ -221,9 +213,88 @@ def make_qc_decoder(
         norm_ref[:] = norm
         iters_ref[:] = jnp.full((1, TB), it, jnp.int32)
 
+    def kernel_layered(llr_ref, mask_ref, est_ref, ok_ref, conv_ref, norm_ref,
+                       iters_ref, E_ref, L_ref, prior_ref):
+        TB = tile_b
+
+        def llr_blk(j):
+            return llr_ref[pl.ds(j * Z, Z), :]
+
+        # init: posterior = channel LLRs, extrinsics = 0
+        for bj in range(nb):
+            L_ref[bj] = llr_blk(bj)
+            prior_ref[bj] = llr_blk(bj)
+        for bi in range(mb):
+            for slot in range(len(row_slots[bi])):
+                E_ref[bi, slot] = jnp.zeros((Z, TB), jnp.float32)
+
+        def body(carry):
+            it, done_f, conv, norm = carry
+            active = done_f < 0.5
+
+            # ---- one serial sweep over base-row layers ----
+            for bi in range(mb):
+                slots = row_slots[bi]
+                msgs = [
+                    _roll0(L_ref[bj], s, Z) - E_ref[bi, slot]
+                    for slot, (bj, s) in enumerate(slots)
+                ]
+                e_new = check_update(msgs)
+                for slot, (bj, s) in enumerate(slots):
+                    l_new = _roll0(msgs[slot] + e_new[slot], -s, Z)
+                    L_ref[bj] = jnp.where(active, l_new, L_ref[bj])
+                    E_ref[bi, slot] = jnp.where(active, e_new[slot],
+                                                E_ref[bi, slot])
+
+            # ---- post-sweep syndrome ----
+            any_unsat = jnp.zeros((1, TB), jnp.bool_)
+            for bi in range(mb):
+                parity = None
+                for bj, s in row_slots[bi]:
+                    bit = _roll0(L_ref[bj], s, Z) < 0
+                    parity = bit if parity is None else parity ^ bit
+                any_unsat = any_unsat | jnp.any(parity, axis=0, keepdims=True)
+            ok_now = ~any_unsat
+
+            # ---- outputs, frozen once a codeword converges ----
+            flips = jnp.zeros((1, TB), jnp.float32)
+            for bj in range(nb):
+                L = L_ref[bj]
+                est_ref[pl.ds(bj * Z, Z), :] = jnp.where(
+                    active, (L < 0).astype(jnp.float32),
+                    est_ref[pl.ds(bj * Z, Z), :],
+                )
+                mask = mask_ref[pl.ds(bj * Z, Z), :]
+                f = (jnp.abs(L) <= LLR_WINDOW) & (prior_ref[bj] * L < 0)
+                flips = flips + jnp.sum(
+                    f.astype(jnp.float32) * mask, axis=0, keepdims=True
+                )
+                prior_ref[bj] = jnp.where(active, L, prior_ref[bj])
+
+            norm = jnp.where(active, flips / max(k, 1), norm)
+            conv = jnp.where(active & ok_now, it, conv)
+            done_f = jnp.maximum(done_f, ok_now.astype(jnp.float32))
+            return (it + 1, done_f, conv, norm)
+
+        def cond(carry):
+            it, done_f, _, _ = carry
+            return (it < max_iterations) & (jnp.min(done_f) < 0.5)
+
+        init = (
+            jnp.int32(0),
+            jnp.zeros((1, TB), jnp.float32),
+            jnp.full((1, TB), -1, jnp.int32),
+            jnp.zeros((1, TB), jnp.float32),
+        )
+        it, done_f, conv, norm = jax.lax.while_loop(cond, body, init)
+        ok_ref[:] = done_f
+        conv_ref[:] = conv
+        norm_ref[:] = norm
+        iters_ref[:] = jnp.full((1, TB), it, jnp.int32)
+
     grid_kernel = functools.partial(
         pl.pallas_call,
-        kernel,
+        kernel if schedule == "flooding" else kernel_layered,
         interpret=interpret,
     )
 
@@ -258,8 +329,12 @@ def make_qc_decoder(
                 jax.ShapeDtypeStruct((1, Bp), jnp.float32),
                 jax.ShapeDtypeStruct((1, Bp), jnp.int32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((mb, dcb, Z, tile_b), jnp.float32),  # M
+            scratch_shapes=(
+                # flooding keeps var->check messages M; layered recomputes
+                # them in place from L - E and needs no M scratch
+                [pltpu.VMEM((mb, dcb, Z, tile_b), jnp.float32)]
+                if schedule == "flooding" else []
+            ) + [
                 pltpu.VMEM((mb, dcb, Z, tile_b), jnp.float32),  # E
                 pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # L
                 pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # prior
@@ -278,11 +353,13 @@ def make_qc_decoder(
     return decode
 
 
-def pick_tile_b(qc: QCLayout, vmem_budget: int = 12 << 20) -> int:
+def pick_tile_b(qc: QCLayout, vmem_budget: int = 12 << 20,
+                schedule: str = "flooding") -> int:
     """Largest power-of-two lane tile whose scratch fits the VMEM budget."""
     row_slots = qc.row_slots()
     dcb = max((len(r) for r in row_slots), default=1)
-    per_lane = 4 * (2 * qc.mb * dcb * qc.Z + 2 * qc.nb * qc.Z + 2 * qc.n)
+    n_msg = 2 if schedule == "flooding" else 1  # layered drops the M scratch
+    per_lane = 4 * (n_msg * qc.mb * dcb * qc.Z + 2 * qc.nb * qc.Z + 2 * qc.n)
     tb = 512
     while tb > 128 and tb * per_lane > vmem_budget:
         tb //= 2

@@ -87,6 +87,7 @@ class SimOptions:
     noise_model: str | None = None  # 'legacy' | 'exact' (None -> from fidelity)
     batch: int = 0  # device batch of codewords; 0 -> auto
     kernel: str = "auto"  # 'auto' | 'pallas' (QC roll kernel) | 'xla' (gather decoder)
+    schedule: str = "flooding"  # 'flooding' (reference schedule) | 'layered' (QC serial-C)
     seed: int = 0
     exact_ber: bool = False  # also count undetected-error bits (not just failed frames)
     minsum_alpha: float = 0.75

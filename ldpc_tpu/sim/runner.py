@@ -63,6 +63,7 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
     variant = opts.decoder_variant
     on_tpu = jax.default_backend() == "tpu"
     want = opts.kernel
+    schedule = opts.schedule or "flooding"
     eligible = (
         variant in _PALLAS_VARIANTS
         and opts.check_rule == "exact"
@@ -77,6 +78,12 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
             "kernel='pallas' requires a quasi-cyclic code, check_rule='exact', "
             "decode_graph='orig' and an SPA/min-sum variant"
         )
+    if schedule == "layered" and not eligible:
+        raise ValueError(
+            "schedule='layered' requires a quasi-cyclic code, "
+            "check_rule='exact', decode_graph='orig' and an SPA/min-sum "
+            "variant (base rows are the conflict-free layers)"
+        )
 
     def build(iters):
         if use_pallas:
@@ -89,8 +96,16 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
                 variant,
                 alpha=opts.minsum_alpha,
                 beta=opts.minsum_beta,
-                tile_b=pick_tile_b(code.qc),
+                tile_b=pick_tile_b(code.qc, schedule=schedule),
                 interpret=not on_tpu,
+                schedule=schedule,
+            )
+        if schedule == "layered":
+            from ldpc_tpu.ops.layered import make_qc_layered_decoder
+
+            return make_qc_layered_decoder(
+                code.qc, info_pos, iters, variant,
+                alpha=opts.minsum_alpha, beta=opts.minsum_beta,
             )
         return make_decoder(
             layout,
@@ -103,6 +118,8 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
         )
 
     kind = "pallas" if use_pallas else "xla"
+    if schedule == "layered":
+        kind += "+layered"
     screen = opts.screen_iters or max(4, (6 * max_iterations) // 10)
     two_phase = opts.straggler == "on" or (
         opts.straggler == "auto" and max_iterations > screen and batch >= 512
