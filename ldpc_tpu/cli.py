@@ -127,6 +127,10 @@ Examples:
                         help="Resume the sweep from --checkpoint (skips completed points)")
     parser.add_argument("--profile", type=str, default=None,
                         help="Capture a jax.profiler trace of the sweep into this directory")
+    parser.add_argument("--target-errors", type=int, default=0,
+                        help="Stop each SNR point after this many frame errors "
+                             "(equalizes estimator precision across points; "
+                             "0 = fixed --blocks like the reference)")
     parser.add_argument("--straggler", type=str, choices=["auto", "on", "off"],
                         default="off",
                         help="Two-phase straggler compaction: screen the batch with "
@@ -190,6 +194,7 @@ def options_from_args(args: argparse.Namespace) -> SimOptions:
         exact_ber=args.exact_ber,
         kernel=args.kernel,
         schedule=args.schedule,
+        target_errors=args.target_errors,
         minsum_alpha=args.minsum_alpha,
         minsum_beta=args.minsum_beta,
         checkpoint=args.checkpoint,

@@ -99,6 +99,13 @@ class SimOptions:
     resume: bool = False  # resume a sweep from the checkpoint file
     profile: str | None = None  # jax.profiler trace directory for the sweep
 
+    # --- sequential Monte-Carlo early stopping (absent in the reference) ---
+    # Stop a SNR point once this many frame errors have been observed (the
+    # estimator's relative precision is set by the error count, so fixed
+    # error targets equalize per-point precision and skip wasted blocks at
+    # high SNR). 0 = fixed block count like the reference.
+    target_errors: int = 0
+
     # --- two-phase straggler compaction (ldpc_tpu.ops.straggler) ---
     # Bit-exact screen-then-recompact decode schedule. Off by default: the
     # iteration-count model predicts ~1.3x at waterfall points, but measured

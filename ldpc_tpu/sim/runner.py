@@ -274,6 +274,7 @@ class PointExecutor:
         stats = PointStats()
         remaining = blocks
         batch_idx = 0
+        target_errors = self.opts.target_errors
         step = self._step_plain  # first batch probes the point's failure rate
         while remaining > 0:
             take = min(remaining, self.batch)
@@ -288,6 +289,11 @@ class PointExecutor:
                 if fer_est < self._straggler_fer_gate:
                     step = self._step  # straggler compaction for the rest
             batch_idx += 1
+            # sequential MC early stop: the FER/BER estimators' precision is
+            # set by the error count, so once enough frame errors are in,
+            # further blocks at this point add nothing
+            if target_errors and stats.fer_frames >= target_errors:
+                break
         return stats
 
 
