@@ -127,6 +127,12 @@ Examples:
                         help="Resume the sweep from --checkpoint (skips completed points)")
     parser.add_argument("--profile", type=str, default=None,
                         help="Capture a jax.profiler trace of the sweep into this directory")
+    parser.add_argument("--shorten", type=int, default=0,
+                        help="Shorten: fix the last S info bits to zero (known "
+                             "at the receiver); effective rate (k-S)/(n-S-P)")
+    parser.add_argument("--puncture", type=int, default=0,
+                        help="Puncture: do not transmit the last P parity bits "
+                             "(decoder sees erasures)")
     parser.add_argument("--target-errors", type=int, default=0,
                         help="Stop each SNR point after this many frame errors "
                              "(equalizes estimator precision across points; "
@@ -194,6 +200,8 @@ def options_from_args(args: argparse.Namespace) -> SimOptions:
         exact_ber=args.exact_ber,
         kernel=args.kernel,
         schedule=args.schedule,
+        shorten=args.shorten,
+        puncture=args.puncture,
         target_errors=args.target_errors,
         minsum_alpha=args.minsum_alpha,
         minsum_beta=args.minsum_beta,

@@ -225,7 +225,7 @@ class AdaptiveController:
                 snr,
                 stats,
                 opts,
-                executor.code.k,
+                executor.k_active,
                 matrix_path=state.current_matrix_path,
                 modulation=state.current_modulation,
                 max_iterations=state.current_max_iterations,

@@ -99,6 +99,13 @@ class SimOptions:
     resume: bool = False  # resume a sweep from the checkpoint file
     profile: str | None = None  # jax.profiler trace directory for the sweep
 
+    # --- rate adaptation within one code (absent in the reference) ---
+    # shorten: fix the LAST S info bits to zero (known at the receiver);
+    # puncture: do not transmit the LAST P parity bits (LLR 0 = erasure).
+    # Effective rate: (k - S) / (n - S - P).
+    shorten: int = 0
+    puncture: int = 0
+
     # --- sequential Monte-Carlo early stopping (absent in the reference) ---
     # Stop a SNR point once this many frame errors have been observed (the
     # estimator's relative precision is set by the error count, so fixed

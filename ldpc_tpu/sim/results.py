@@ -76,6 +76,9 @@ class SimulationConfig:
     batch: int = 0
     seed: int = 0
     device: str = ""
+    shorten: int = 0
+    puncture: int = 0
+    schedule: str = "flooding"
 
 
 @dataclass

@@ -194,7 +194,35 @@ class PointExecutor:
         self.spec = spec
         layout = code.layout(self.graph)
         info_pos = spec.info_pos(self.graph)
+
+        # rate adaptation: shorten the LAST S info bits (known zeros at the
+        # receiver), puncture the LAST P parity positions (erasures)
+        S, P = opts.shorten, opts.puncture
+        n_parity = code.n - code.k
+        if not 0 <= S < code.k:
+            raise ValueError(f"shorten={S} out of range [0, k={code.k})")
+        if not 0 <= P < n_parity:
+            raise ValueError(f"puncture={P} out of range [0, n-k={n_parity})")
+        self.k_active = code.k - S
+        self.effective_rate = self.k_active / max(code.n - S - P, 1)
+        short_pos = np.asarray(info_pos[self.k_active:], dtype=np.int64)
+        parity_pos = np.setdiff1d(
+            np.arange(code.n, dtype=np.int64), np.asarray(info_pos, np.int64)
+        )
+        punct_pos = parity_pos[n_parity - P:] if P else np.empty(0, np.int64)
+        # decoder/metrics see only the active info bits
+        info_pos = np.asarray(info_pos[: self.k_active], dtype=np.int32)
         self._info_pos = jnp.asarray(info_pos)
+        u_mask = np.ones((1, code.k), np.float32)
+        u_mask[0, self.k_active:] = 0.0
+        llr_short = np.zeros((1, code.n), np.float32)
+        llr_short[0, short_pos] = 1.0
+        llr_punct = np.ones((1, code.n), np.float32)
+        llr_punct[0, punct_pos] = 0.0
+        _u_mask = jnp.asarray(u_mask)
+        _llr_short = jnp.asarray(llr_short)
+        _llr_punct = jnp.asarray(llr_punct)
+        KNOWN_LLR = 60.0  # |LLR| of a known bit; channel convention: 0 -> negative
 
         encode = make_encoder(spec, self.graph)
         interleave, deinterleave = make_interleaver(
@@ -215,21 +243,31 @@ class PointExecutor:
         else:
             sharding = None
 
+        k_active = self.k_active
+
         def make_step(dec):
             def step(key: jax.Array, consts: ChannelConsts):
                 k_u, k_il, k_ch = jax.random.split(key, 3)
                 u = random_info_bits(k_u, batch, k)
+                if S:
+                    u = (u.astype(jnp.float32) * _u_mask).astype(u.dtype)
                 if sharding is not None:
                     u = jax.lax.with_sharding_constraint(u, sharding)
                 w = encode(u)
                 w_int, il_state = interleave(k_il, w)
                 llr = channel(k_ch, w_int, consts)
                 llr = deinterleave(il_state, llr)
+                if P:  # punctured parity bits arrive as erasures
+                    llr = llr * _llr_punct
+                if S:  # shortened info bits are known zeros
+                    llr = llr * (1.0 - _llr_short) - KNOWN_LLR * _llr_short
                 res = dec(llr)
                 # NOTE: per-codeword stats stay unreduced here -- reducing
                 # while-loop outputs to scalars in the same XLA program costs
                 # minutes of compile time; the reduction runs in _reduce below.
-                stats = block_stats(u, res, self._info_pos, exact=exact_ber)
+                stats = block_stats(
+                    u[:, :k_active], res, self._info_pos, exact=exact_ber
+                )
                 return stats, res.iters_run
 
             return step
@@ -376,6 +414,9 @@ def make_sim_config(opts: SimOptions, code: LDPCCode) -> SimulationConfig:
         batch=opts.batch,
         seed=opts.seed,
         device=f"{dev.platform}:{getattr(dev, 'device_kind', '')}x{jax.device_count()}",
+        shorten=opts.shorten,
+        puncture=opts.puncture,
+        schedule=opts.schedule,
     )
 
 
@@ -454,7 +495,7 @@ def run_simulation(
             t_point = time.time()
             stats = executor.run_point(snr, opts.blocks, base_key, idx)
             point_s = time.time() - t_point
-            point = build_point_result(snr, stats, opts, code.k)
+            point = build_point_result(snr, stats, opts, executor.k_active)
             snr_points.append(point)
             if opts.normalized_llr:
                 say(f"  Normalized LLR: {point.avg_normalized_llr:.6f}")
@@ -585,7 +626,8 @@ def run_simulation_parallel(
         batch_idx += 1
 
     snr_points = [
-        build_point_result(snrs[s], stats_list[s], opts, code.k) for s in range(S)
+        build_point_result(snrs[s], stats_list[s], opts, executor.k_active)
+        for s in range(S)
     ]
     for p in snr_points:
         say(f"SNR {p.snr_db:.2f} dB: BER={p.ber:.6f} FER={p.fer:.6f} "
