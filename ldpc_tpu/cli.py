@@ -60,8 +60,10 @@ Examples:
                         help="Channel: 1=AWGN, 2=AWGN+partial-band, 3=AWGN+jamming")
     parser.add_argument("--p", type=float, default=0.1,
                         help="Interference parameter p/gamma for modes 2/3 (default: 0.1)")
-    parser.add_argument("--modulation", "-mod", type=int, choices=[1, 2], default=1,
-                        help="Modulation: 1=BPSK, 2=QPSK (default: 1)")
+    parser.add_argument("--modulation", "-mod", type=int,
+                        choices=[1, 2, 4, 16, 64], default=1,
+                        help="Modulation: 1=BPSK, 2=QPSK proxy (reference "
+                             "semantics), 4/16/64=Gray QAM with max-log LLRs")
     parser.add_argument("--s-param", type=int, default=2,
                         help="S parameter for the S-Random interleaver (default: 2)")
     parser.add_argument("--ber", action="store_true", help="Compute BER")

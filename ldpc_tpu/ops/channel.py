@@ -108,12 +108,42 @@ class ChannelParams:
         )
 
 
-def make_channel_fn(mode: int, modulation: int = 1):
+def make_channel_fn(mode: int, modulation: int = 1, n: int | None = None):
     """Build ``channel(key, bits: f32 [B, n], consts: ChannelConsts) -> llr``.
 
     ``bits`` are codeword bits in {0, 1}; returns per-bit channel LLRs with
     the reference's sign convention (LLR > 0 <=> bit 1).
+
+    ``modulation``: 1 = BPSK, 2 = the reference's +-0.7 QPSK proxy
+    (channel.py:47-51), 4/16/64 = true Gray-mapped square QAM with max-log
+    per-bit LLRs (ldpc_tpu.ops.modem; AWGN mode 1 only, requires ``n``).
     """
+    if modulation in (4, 16, 64):
+        if mode != 1:
+            raise ValueError(
+                f"QAM-{modulation} supports only channel mode 1 (AWGN); "
+                f"modes 2/3 define BPSK-specific LLR scale factors"
+            )
+        if n is None:
+            raise ValueError("QAM channels need the codeword length n")
+        from ldpc_tpu.ops.modem import make_qam_modem, qam_spec
+
+        bps, _, _ = qam_spec(modulation)
+        modulate, demap = make_qam_modem(modulation, n)
+
+        def channel(key, bits, c: ChannelConsts):
+            kI, kQ = jax.random.split(key)
+            yI, yQ = modulate(bits)
+            # per-dimension variance N0/2; Es/N0 = speed*bps*snr folded into
+            # sigma1 = 1/sqrt(2*speed*snr): var = sigma1^2 / bps
+            noise_var = (c.sigma1**2) / bps
+            std = jnp.sqrt(noise_var)
+            yI = yI + std * jax.random.normal(kI, yI.shape, dtype=jnp.float32)
+            yQ = yQ + std * jax.random.normal(kQ, yQ.shape, dtype=jnp.float32)
+            return demap(yI, yQ, noise_var)
+
+        return channel
+
     amp = 1.0 if modulation == 1 else 0.7
 
     if mode == 1:

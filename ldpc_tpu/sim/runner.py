@@ -228,7 +228,7 @@ class PointExecutor:
         interleave, deinterleave = make_interleaver(
             il_kind, code.n, s_param=opts.s_param, seed=opts.seed
         )
-        channel = make_channel_fn(opts.mode, self.modulation)
+        channel = make_channel_fn(opts.mode, self.modulation, n=code.n)
         decode, self.kernel_used, decode_plain = _select_decoder(
             code, opts, layout, info_pos, self.max_iterations, batch=self.batch
         )
