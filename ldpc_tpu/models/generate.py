@@ -148,8 +148,11 @@ def wimax_like(Z: int, seed: int = 0) -> AlistMatrix:
     base_edges = [
         (r, c) for r in range(mb) for c in range(nb) if table[r][c]
     ]
-    # parity part (columns >= 12): keep the dual-diagonal structure's fixed
-    # shifts; column 12's nonzeros keep the wimax convention (paired values)
+    # parity part: columns > 12 keep the dual-diagonal structure's zero
+    # shifts. Column 12's three shifts are drawn randomly like the info part
+    # (the reference's wimaxlike_*_set0 files do the same -- e.g. 0/2/7 in
+    # the P8 set -- giving up 802.16e's paired-value back-substitution
+    # shortcut; encoding here goes through the generic standard form anyway).
     fixed = {
         (r, c): 0 for (r, c) in base_edges if c > mb
     }

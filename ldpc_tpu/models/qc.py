@@ -44,6 +44,15 @@ class QCLayout:
     def n_base_edges(self) -> int:
         return len(self.edges)
 
+    @property
+    def single_diagonal(self) -> bool:
+        """True when every base block holds at most one circulant (weight 1).
+
+        Multi-diagonal blocks (e.g. CCSDS '0+7') put two edges of one check
+        row on the same block column, which breaks schedules that assume
+        layers are conflict-free (ldpc_tpu.ops.layered)."""
+        return len({(bi, bj) for bi, bj, _ in self.edges}) == len(self.edges)
+
     def row_slots(self) -> list[list[tuple[int, int]]]:
         """Per base row: list of (block_col, shift) in edge order."""
         rows: list[list[tuple[int, int]]] = [[] for _ in range(self.mb)]

@@ -181,9 +181,10 @@ def make_channel_fn(mode: int, modulation: int = 1, n: int | None = None):
     raise ValueError(f"Unknown channel mode: {mode}")
 
 
-def make_channel(params: ChannelParams):
-    """Convenience wrapper: closes over a single SNR point's constants."""
-    fn = make_channel_fn(params.mode, params.modulation)
+def make_channel(params: ChannelParams, n: int | None = None):
+    """Convenience wrapper: closes over a single SNR point's constants.
+    ``n`` (codeword length) is required for the QAM modulations."""
+    fn = make_channel_fn(params.mode, params.modulation, n=n)
     consts = params.consts()
 
     def channel(key, bits):

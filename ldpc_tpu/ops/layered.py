@@ -36,12 +36,17 @@ from ldpc_tpu.ops.spa import (
     TANH_IN_CLIP,
     DecodeResult,
     _signs,
+    exclusive_combine,
 )
 
 
 def _check_update_list(msgs, variant, alpha, beta):
-    """Leave-one-out check update over a static list of [..., Z] arrays."""
-    d = len(msgs)
+    """Leave-one-out check update over a static list of [..., Z] arrays.
+
+    Uses the shared ``exclusive_combine`` so float reductions associate in
+    the SAME order as the Pallas kernel's check update -- the precondition
+    for the bit-identity asserted in tests/test_layered.py.
+    """
     if variant == "spa":
         ts = [
             jnp.clip(
@@ -52,29 +57,19 @@ def _check_update_list(msgs, variant, alpha, beta):
             for m in msgs
         ]
         out = []
-        for j in range(d):
-            prod = None
-            for i in range(d):
-                if i == j:
-                    continue
-                prod = ts[i] if prod is None else prod * ts[i]
+        for j, prod in enumerate(exclusive_combine(ts, lambda a, b: a * b)):
             if prod is None:
                 prod = jnp.ones_like(msgs[j])
             prod = jnp.clip(prod, -PROD_CLIP_F32, PROD_CLIP_F32)
             out.append(jnp.log((1.0 + prod) / (1.0 - prod)))
         return out
     # min-sum family
+    sgns = [_signs(m) for m in msgs]
+    mags = [jnp.abs(m) for m in msgs]
+    excl_sgn = exclusive_combine(sgns, lambda a, b: a * b)
+    excl_mag = exclusive_combine(mags, jnp.minimum)
     out = []
-    for j in range(d):
-        sgn = None
-        mag = None
-        for i in range(d):
-            if i == j:
-                continue
-            s_i = _signs(msgs[i])
-            m_i = jnp.abs(msgs[i])
-            sgn = s_i if sgn is None else sgn * s_i
-            mag = m_i if mag is None else jnp.minimum(mag, m_i)
+    for j, (sgn, mag) in enumerate(zip(excl_sgn, excl_mag)):
         if sgn is None:
             sgn, mag = jnp.ones_like(msgs[j]), jnp.full_like(msgs[j], 1e30)
         if variant == "normalized_minsum":
@@ -104,6 +99,11 @@ def make_qc_layered_decoder(
     cleared.
     """
     variant = variant.lower().replace("-", "_")
+    if not qc.single_diagonal:
+        raise ValueError(
+            "layered schedule needs single-diagonal circulant blocks; this "
+            "code has multi-diagonal blocks (base rows are not conflict-free)"
+        )
     n, Z, nb, mb = qc.n, qc.Z, qc.nb, qc.mb
     row_slots = qc.row_slots()
     info_pos = jnp.asarray(np.asarray(info_pos, dtype=np.int32))

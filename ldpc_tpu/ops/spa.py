@@ -160,13 +160,16 @@ def make_decoder(
             # (Mosaic has no atanh primitive), so both paths agree bit-for-bit
             return jnp.log((1.0 + prod) / (1.0 - prod))
         # min-sum family: sign via exclusive product, magnitude via two-min.
+        # Padding magnitude is a large FINITE value: inf would turn a
+        # degree-1 check's extrinsic into inf and poison L - E with NaN.
+        pad_mag = jnp.asarray(1e30, dtype)
         sgn = jnp.where(slot_valid, _signs(M), jnp.ones((), dtype))
-        mag = jnp.where(slot_valid, jnp.abs(M), jnp.inf)
+        mag = jnp.where(slot_valid, jnp.abs(M), pad_mag)
         total_sign = jnp.prod(sgn, axis=-1, keepdims=True)
         excl_sign = total_sign * sgn  # sign in {+-1}: division == multiplication
         min1 = jnp.min(mag, axis=-1, keepdims=True)
         is_min = jax.nn.one_hot(jnp.argmin(mag, axis=-1), dc, dtype=bool)
-        min2 = jnp.min(jnp.where(is_min, jnp.inf, mag), axis=-1, keepdims=True)
+        min2 = jnp.min(jnp.where(is_min, pad_mag, mag), axis=-1, keepdims=True)
         excl_min = jnp.where(is_min, min2, min1)
         if variant == "normalized_minsum":
             excl_min = alpha * excl_min
@@ -315,10 +318,13 @@ def make_bitflip_decoder(layout, info_pos: np.ndarray, max_iterations: int):
             return (it + 1, est, done_next, conv)
 
         it, est, done, conv = jax.lax.while_loop(cond, body, init)
-        # final syndrome check for codewords that flipped on the last iteration
+        # final syndrome check for codewords that flipped on the last
+        # iteration: est has been through `it` flip rounds, so a clear
+        # syndrome here converged at round `it` (the in-loop check records
+        # `conv = r` for a syndrome clear entering round r)
         par = parity_of(est)
         ok_final = jnp.all(par == 0, axis=-1)
-        conv = jnp.where(~done & ok_final, it - 1, conv)
+        conv = jnp.where(~done & ok_final, it, conv)
         done = done | ok_final
         B = llr.shape[0]
         return DecodeResult(

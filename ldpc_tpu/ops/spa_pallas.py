@@ -84,6 +84,11 @@ def make_qc_decoder(
         raise ValueError(f"QC kernel does not support variant {variant!r}")
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"Unknown schedule: {schedule!r}")
+    if schedule == "layered" and not qc.single_diagonal:
+        raise ValueError(
+            "layered schedule needs single-diagonal circulant blocks; this "
+            "code has multi-diagonal blocks (base rows are not conflict-free)"
+        )
 
     n, Z, nb, mb = qc.n, qc.Z, qc.nb, qc.mb
     row_slots = qc.row_slots()  # per base row: [(bj, shift)]

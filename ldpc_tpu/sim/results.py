@@ -79,6 +79,8 @@ class SimulationConfig:
     shorten: int = 0
     puncture: int = 0
     schedule: str = "flooding"
+    s_param: int = 2
+    exact_ber: bool = False
 
 
 @dataclass

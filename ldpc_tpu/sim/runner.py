@@ -84,6 +84,12 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
             "check_rule='exact', decode_graph='orig' and an SPA/min-sum "
             "variant (base rows are the conflict-free layers)"
         )
+    if schedule == "layered" and not code.qc.single_diagonal:
+        raise ValueError(
+            "schedule='layered' requires single-diagonal circulant blocks: "
+            f"{code.name} has multi-diagonal blocks (e.g. CCSDS '0+7'), so "
+            "base rows are not conflict-free layers; use the flooding schedule"
+        )
 
     def build(iters):
         if use_pallas:
@@ -186,9 +192,13 @@ class PointExecutor:
         self.batch = opts.auto_batch(code.n)
         self.mesh = mesh
         if mesh is not None:
-            # round the batch up to a multiple of the sharded axis size
-            axis = int(np.prod([mesh.shape[a] for a in batch_axes]))
-            self.batch = int(-(-self.batch // axis) * axis)
+            # only axes the mesh actually has shard the batch (an snr-only
+            # mesh leaves the codeword batch unsharded)
+            batch_axes = tuple(a for a in batch_axes if a in mesh.axis_names)
+            if batch_axes:
+                # round the batch up to a multiple of the sharded axis size
+                axis = int(np.prod([mesh.shape[a] for a in batch_axes]))
+                self.batch = int(-(-self.batch // axis) * axis)
 
         spec = code.encode_spec(opts.encoding_method, opts.ru_gap)
         self.spec = spec
@@ -236,7 +246,7 @@ class PointExecutor:
         batch = self.batch
         exact_ber = opts.exact_ber
 
-        if mesh is not None:
+        if mesh is not None and batch_axes:
             sharding = jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec(batch_axes)
             )
@@ -417,6 +427,8 @@ def make_sim_config(opts: SimOptions, code: LDPCCode) -> SimulationConfig:
         shorten=opts.shorten,
         puncture=opts.puncture,
         schedule=opts.schedule,
+        s_param=opts.s_param,
+        exact_ber=opts.exact_ber,
     )
 
 
@@ -431,7 +443,8 @@ def sweep_fingerprint(config: SimulationConfig) -> tuple:
         config.modulation, config.speed, tuple(config.snr_range),
         config.interference_snr, config.p, config.fidelity,
         config.decode_graph, config.check_rule, config.noise_model,
-        config.seed,
+        config.seed, config.shorten, config.puncture, config.schedule,
+        config.s_param, config.exact_ber,
     )
 
 
@@ -562,6 +575,11 @@ def run_simulation_parallel(
     from ldpc_tpu.parallel.mesh import make_mesh, sharded_sweep_step
 
     opts = opts.resolved()
+    if opts.checkpoint or opts.resume:
+        raise ValueError(
+            "checkpoint/resume are not supported by the parallel sweep (all "
+            "SNR points complete together); use the sequential runner"
+        )
     start_time = time.time()
     if code is None:
         code = load_code(opts.matrix)
@@ -624,6 +642,12 @@ def run_simulation_parallel(
         executor.total_iters_run += int(np.max(np.asarray(iters_run)))
         remaining -= take
         batch_idx += 1
+        # early stop once EVERY real point has its frame-error quota (the
+        # batch applies to all points at once, so the slowest point governs)
+        if opts.target_errors and all(
+            stats_list[s].fer_frames >= opts.target_errors for s in range(S)
+        ):
+            break
 
     snr_points = [
         build_point_result(snrs[s], stats_list[s], opts, executor.k_active)

@@ -103,3 +103,18 @@ def test_adaptive_resume_replays_state(tmp_path):
     )
     assert _points(resumed) == _points(full)
     assert resumed.adaptation_log == full.adaptation_log
+
+
+def test_fingerprint_sensitive_to_new_knobs(tmp_path):
+    """shorten/puncture/schedule/s_param/exact_ber must change the sweep
+    identity (a checkpoint from a different effective rate must not resume)."""
+    ckpt = str(tmp_path / "ck.json")
+    run_simulation(_opts(tmp_path, matrix="builtin:wimax_576_0.5.alist.txt",
+                         batch=32, blocks=32, checkpoint=ckpt))
+    r = run_simulation(_opts(tmp_path, matrix="builtin:wimax_576_0.5.alist.txt",
+                             batch=32, blocks=32, checkpoint=ckpt, resume=True,
+                             shorten=48))
+    # fresh start -> all 3 points recomputed at the shortened rate
+    assert len(r.snr_points) == 3
+    saved = SimulationResult.from_json(ckpt)
+    assert saved.config.shorten == 48

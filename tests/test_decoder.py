@@ -195,3 +195,22 @@ def test_determinism(small_code):
     r2 = decode(jnp.asarray(llr, jnp.float32))
     assert np.array_equal(np.asarray(r1.est), np.asarray(r2.est))
     assert np.array_equal(np.asarray(r1.conv_iter), np.asarray(r2.conv_iter))
+
+
+def test_minsum_degree_one_check_stays_finite():
+    """A weight-1 check row must not poison min-sum with inf - inf = NaN."""
+    import numpy as np
+
+    from ldpc_tpu.models.alist import AlistMatrix
+    from ldpc_tpu.models.code import build_edge_layout
+    from ldpc_tpu.ops.spa import make_decoder
+
+    H = np.array([[1, 1, 0, 1, 0], [0, 1, 1, 0, 1], [0, 0, 0, 0, 1]], np.uint8)
+    rows, cols = np.nonzero(H)
+    layout = build_edge_layout(5, 3, rows.astype(np.int32), cols.astype(np.int32))
+    dec = jax.jit(make_decoder(layout, np.arange(2, dtype=np.int32), 8,
+                               "normalized_minsum", rule="exact"))
+    llr = jnp.asarray([[-4.0, 3.0, -2.0, -5.0, -1.0]], jnp.float32)
+    r = dec(llr)
+    assert np.isfinite(np.asarray(r.norm_llr)).all()
+    assert np.asarray(r.est).max() <= 1  # decoded bits are bits, not NaN junk

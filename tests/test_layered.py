@@ -131,3 +131,14 @@ def test_runner_layered_schedule(setup):
 
         nonqc = LC(alist=gallager_regular(96, 3, 6, seed=1), name="nonqc")
         PointExecutor(nonqc, opts)
+
+
+def test_layered_rejects_multidiagonal_codes():
+    """CCSDS-style multi-diagonal blocks are not conflict-free layers."""
+    from ldpc_tpu.models.standards import ccsds
+    from ldpc_tpu.models.qc import detect_qc
+
+    qc = detect_qc(ccsds(128))
+    assert qc is not None and not qc.single_diagonal
+    with pytest.raises(ValueError, match="single-diagonal"):
+        make_qc_layered_decoder(qc, np.arange(64, dtype=np.int32), 5)

@@ -164,3 +164,32 @@ def test_parallel_sweep_batch_only_mesh():
     res = run_simulation_parallel(opts, mesh=make_mesh({"batch": 8}))
     assert len(res.snr_points) == 3
     assert all(p.total_blocks == 64 for p in res.snr_points)
+
+
+def test_snr_only_mesh():
+    """A mesh with only an 'snr' axis leaves the codeword batch unsharded."""
+    from ldpc_tpu.parallel.mesh import make_mesh
+    from ldpc_tpu.sim.config import SimOptions
+    from ldpc_tpu.sim.runner import run_simulation_parallel
+
+    opts = SimOptions(
+        matrix="builtin:BCH_7_4_1_strip.alist.txt", blocks=32, iterations=3,
+        ber=True, fer=True, fidelity="exact", batch=32, seed=2, quiet=True,
+        initial_snr=1.0, end_snr=4.0, step_snr=1.0,
+    )
+    res = run_simulation_parallel(opts, mesh=make_mesh({"snr": 8}))
+    assert len(res.snr_points) == 4
+    assert all(p.total_blocks == 32 for p in res.snr_points)
+
+
+def test_parallel_sweep_rejects_checkpoint():
+    from ldpc_tpu.parallel.mesh import make_mesh
+    from ldpc_tpu.sim.config import SimOptions
+    from ldpc_tpu.sim.runner import run_simulation_parallel
+
+    opts = SimOptions(matrix="builtin:BCH_7_4_1_strip.alist.txt", blocks=8,
+                      ber=True, checkpoint="x.json", quiet=True)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="checkpoint"):
+        run_simulation_parallel(opts, mesh=make_mesh({"batch": 8}))
