@@ -66,8 +66,9 @@ def main() -> int:
         jax.block_until_ready(counters)
 
     # timed region: stream batches like the production sweep does; take the
-    # median of several windows (remote-tunnel jitter)
-    n_timed, n_windows = 20, 5
+    # median of several windows (remote-TPU tunnels show 2x throughput
+    # swings between windows, so the median needs a wide sample)
+    n_timed, n_windows = 20, 9
     window_times = []
     totals = None
     for w in range(n_windows):
