@@ -159,7 +159,23 @@ def protograph_threshold(
     target: float = 1e-3,
     seed: int = 0,
 ) -> float:
-    """BP threshold in Eb/N0 (dB) by bisection on de_error_probability."""
+    """BP threshold in Eb/N0 (dB) by bisection on de_error_probability.
+
+    Raises if the threshold lies outside [lo_db, hi_db] (the bracket
+    endpoints are evaluated first), rather than silently returning an
+    endpoint as the answer.
+    """
+    kw = dict(rate=rate, iterations=iterations, n_samples=n_samples, seed=seed)
+    if de_error_probability(graph, hi_db, **kw) >= target:
+        raise ValueError(
+            f"BP threshold above hi_db={hi_db} dB (pe >= {target} there); "
+            f"raise hi_db"
+        )
+    if de_error_probability(graph, lo_db, **kw) < target:
+        raise ValueError(
+            f"BP threshold below lo_db={lo_db} dB (pe < {target} there); "
+            f"lower lo_db"
+        )
     lo, hi = lo_db, hi_db
     while hi - lo > tol_db:
         mid = 0.5 * (lo + hi)

@@ -29,13 +29,14 @@ def hamming_7_4() -> AlistMatrix:
 
 
 def gallager_regular(
-    n: int, dv: int = 3, dc: int = 6, seed: int = 0, max_tries: int = 50
+    n: int, dv: int = 3, dc: int = 6, seed: int = 0
 ) -> AlistMatrix:
     """(dv, dc)-regular Gallager ensemble: dv stacked permutation tiers.
 
     Each tier partitions a random column permutation into groups of dc, one
-    group per check. Tiers are resampled if they would duplicate an edge, so
-    the result is exactly (dv, dc)-regular.
+    group per check. Tiers occupy disjoint row ranges and a permutation
+    never repeats a column within a tier, so the result is exactly
+    (dv, dc)-regular by construction.
     """
     if (n * dv) % dc != 0:
         raise ValueError(f"n*dv must be divisible by dc (n={n}, dv={dv}, dc={dc})")
@@ -45,27 +46,14 @@ def gallager_regular(
         raise ValueError("dv must divide m = n*dv/dc")
 
     rng = np.random.default_rng(seed)
-    edges: set[tuple[int, int]] = set()
     rows: list[int] = []
     cols: list[int] = []
-
     for tier in range(dv):
-        for attempt in range(max_tries):
-            perm = rng.permutation(n)
-            tier_edges = [
-                (tier * tier_rows + i, int(perm[i * dc + j]))
-                for i in range(tier_rows)
-                for j in range(dc)
-            ]
-            if all(e not in edges for e in tier_edges):
-                edges.update(tier_edges)
-                rows.extend(r for r, _ in tier_edges)
-                cols.extend(c for _, c in tier_edges)
-                break
-        else:
-            raise RuntimeError(
-                f"Could not sample a duplicate-free tier {tier} in {max_tries} tries"
-            )
+        perm = rng.permutation(n)
+        for i in range(tier_rows):
+            for j in range(dc):
+                rows.append(tier * tier_rows + i)
+                cols.append(int(perm[i * dc + j]))
 
     order = np.lexsort((cols, rows))
     return AlistMatrix(
@@ -174,6 +162,8 @@ def qc_random(
 ) -> AlistMatrix:
     """Random regular QC-LDPC with girth >= 6: ``row_weight`` circulants per
     base row, base columns chosen to balance column weights."""
+    if not 0 < row_weight <= nb:
+        raise ValueError(f"row_weight={row_weight} must be in [1, nb={nb}]")
     rng = np.random.default_rng(seed)
     col_deg = np.zeros(nb, dtype=np.int64)
     base_edges: list[tuple[int, int]] = []

@@ -126,6 +126,11 @@ def make_channel_fn(mode: int, modulation: int = 1, n: int | None = None):
             )
         if n is None:
             raise ValueError("QAM channels need the codeword length n")
+        # NOTE: the QAM path always uses exact noise physics; the legacy
+        # sigma^2-as-stddev quirk is a BPSK-specific reference behavior.
+        # Callers must request noise_model='exact' (validated at the
+        # ChannelParams/runner level) so BPSK and QAM SNR axes stay
+        # comparable.
         from ldpc_tpu.ops.modem import make_qam_modem, qam_spec
 
         bps, _, _ = qam_spec(modulation)
@@ -144,6 +149,11 @@ def make_channel_fn(mode: int, modulation: int = 1, n: int | None = None):
 
         return channel
 
+    if modulation not in (1, 2):
+        raise ValueError(
+            f"Unknown modulation {modulation}: 1=BPSK, 2=QPSK proxy, "
+            f"4/16/64=Gray QAM"
+        )
     amp = 1.0 if modulation == 1 else 0.7
 
     if mode == 1:
@@ -184,6 +194,12 @@ def make_channel_fn(mode: int, modulation: int = 1, n: int | None = None):
 def make_channel(params: ChannelParams, n: int | None = None):
     """Convenience wrapper: closes over a single SNR point's constants.
     ``n`` (codeword length) is required for the QAM modulations."""
+    if params.modulation in (4, 16, 64) and params.noise_model == "legacy":
+        raise ValueError(
+            "QAM modulations use exact noise physics; the legacy "
+            "sigma^2-as-stddev quirk is BPSK-specific -- set "
+            "noise_model='exact'"
+        )
     fn = make_channel_fn(params.mode, params.modulation, n=n)
     consts = params.consts()
 

@@ -167,6 +167,8 @@ def make_qc_layered_decoder(
                 for bj, s in row_slots[bi]:
                     b = roll(est_blk[:, bj], s).astype(jnp.int32)
                     parity = b if parity is None else parity ^ b
+                if parity is None:
+                    continue  # empty base row: trivially satisfied
                 ok_now = ok_now & jnp.all(parity == 0, axis=-1)
 
             L_info = jnp.take(L_flat, info_pos, axis=1)

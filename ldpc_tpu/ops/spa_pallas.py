@@ -179,6 +179,8 @@ def make_qc_decoder(
                     parity = bit if parity is None else parity ^ bit
                     M_ref[bi, slot] = jnp.where(active, l_edge - E_ref[bi, slot],
                                                 M_ref[bi, slot])
+                if parity is None:
+                    continue  # empty base row: trivially satisfied
                 any_unsat = any_unsat | jnp.any(parity, axis=0, keepdims=True)
             ok_now = ~any_unsat  # [1, TB]
 
@@ -258,6 +260,8 @@ def make_qc_decoder(
                 for bj, s in row_slots[bi]:
                     bit = _roll0(L_ref[bj], s, Z) < 0
                     parity = bit if parity is None else parity ^ bit
+                if parity is None:
+                    continue  # empty base row: trivially satisfied
                 any_unsat = any_unsat | jnp.any(parity, axis=0, keepdims=True)
             ok_now = ~any_unsat
 

@@ -21,9 +21,15 @@ would have taken -- so ok / est / conv_iter / norm_llr are BITWISE IDENTICAL
 to single-pass decoding (asserted in tests/test_straggler.py), while the
 batch pays ``screen_iters + capacity_frac * max_iterations`` instead of
 ``max_iterations`` iterations. If more codewords than the compaction
-capacity fail the screen (rare; monitored by a counter), a `lax.cond`
-falls back to re-decoding the whole batch with the full budget -- still
-bit-exact, just not faster for that batch.
+capacity fail the screen, a `lax.cond` falls back to re-decoding the whole
+batch with the full budget -- still bit-exact, just not faster for that
+batch (the sequential runner additionally gates the straggler per SNR point
+on the first batch's FER, runner.py).
+
+CAVEAT: under vmap (e.g. the parallel SNR sweep) a batched-predicate
+`lax.cond` lowers to select and BOTH branches execute -- the wrapper would
+then be strictly slower than plain decoding, so run_simulation_parallel
+forces the straggler off.
 """
 
 from __future__ import annotations

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from datetime import datetime
 from functools import lru_cache
 
@@ -189,6 +189,13 @@ class PointExecutor:
         self.max_iterations = max_iterations or opts.iterations
         il_kind = interleaver if interleaver is not None else opts.interleaver
         self.modulation = modulation or opts.modulation
+        if self.modulation in (4, 16, 64) and opts.noise_model == "legacy":
+            raise ValueError(
+                "QAM modulations require noise_model='exact' (use --fidelity "
+                "exact or --noise-model exact): the legacy sigma^2-as-stddev "
+                "quirk is BPSK-specific and would make the SNR axis "
+                "incomparable"
+            )
         self.batch = opts.auto_batch(code.n)
         self.mesh = mesh
         if mesh is not None:
@@ -580,6 +587,14 @@ def run_simulation_parallel(
             "checkpoint/resume are not supported by the parallel sweep (all "
             "SNR points complete together); use the sequential runner"
         )
+    if opts.straggler != "off":
+        # the straggler's lax.cond lowers to select (BOTH branches run) once
+        # the point step is vmapped over the snr axis -- it would add the
+        # full-budget decode on top of the screen instead of replacing it
+        if not opts.quiet:
+            print("straggler compaction disabled under the parallel sweep "
+                  "(vmapped cond would execute both branches)")
+        opts = replace(opts, straggler="off")
     start_time = time.time()
     if code is None:
         code = load_code(opts.matrix)

@@ -58,3 +58,13 @@ def test_wimax_beats_regular_ensemble():
                                   iterations=200, n_samples=4000)
     assert pe_wimax < 1e-3, pe_wimax
     assert pe_reg > 0.01, pe_reg
+
+
+def test_threshold_bracket_validation():
+    proto = regular_protograph(3, 6)
+    with pytest.raises(ValueError, match="above hi_db"):
+        protograph_threshold(proto, 0.5, lo_db=-2.0, hi_db=0.0,
+                             iterations=40, n_samples=2000)
+    with pytest.raises(ValueError, match="below lo_db"):
+        protograph_threshold(proto, 0.5, lo_db=3.0, hi_db=5.0,
+                             iterations=40, n_samples=2000)

@@ -97,3 +97,21 @@ def test_qam_rejects_modes_2_3():
 def test_qam_rejects_bad_length():
     with pytest.raises(ValueError, match="not divisible"):
         make_qam_modem(64, 100)
+
+
+def test_qam_requires_exact_noise():
+    from ldpc_tpu.ops.channel import make_channel
+    from ldpc_tpu.sim.config import SimOptions
+    from ldpc_tpu.sim.runner import PointExecutor, load_code
+
+    with pytest.raises(ValueError, match="exact"):
+        make_channel(ChannelParams(modulation=16, noise_model="legacy"), n=96)
+    code = load_code("builtin:wimax_576_0.5.alist.txt")
+    with pytest.raises(ValueError, match="exact"):
+        PointExecutor(code, SimOptions(matrix=code.name, blocks=8, ber=True,
+                                       modulation=16, fidelity="reference"))
+
+
+def test_unknown_modulation_rejected():
+    with pytest.raises(ValueError, match="Unknown modulation"):
+        make_channel_fn(1, 32, n=96)

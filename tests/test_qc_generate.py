@@ -70,3 +70,8 @@ def jnp_mean(x):
     import jax.numpy as jnp
 
     return jnp.mean(x.astype(jnp.float32))
+
+
+def test_qc_random_rejects_overweight_rows():
+    with pytest.raises(ValueError, match="row_weight"):
+        qc_random(mb=4, nb=4, Z=16, row_weight=8)
