@@ -33,7 +33,10 @@ Examples:
         """,
     )
     # --- reference-compatible flags (main.py:456-523) ---
-    parser.add_argument("--matrix", "-m", type=str, required=True,
+    parser.add_argument("--list-codes", action="store_true",
+                        help="List available codes (built-in standard codes "
+                             "and any matrix database on disk) and exit")
+    parser.add_argument("--matrix", "-m", type=str, required=False, default=None,
                         help="Path to the parity-check matrix (ALIST)")
     parser.add_argument("--blocks", "-b", type=int, default=100,
                         help="Number of codeword blocks per SNR point (default: 100)")
@@ -219,6 +222,23 @@ def options_from_args(args: argparse.Namespace) -> SimOptions:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.list_codes:
+        from ldpc_tpu.models.catalog import MatrixCatalog
+        from ldpc_tpu.utils.db import default_matrix_db
+
+        catalog = MatrixCatalog(default_matrix_db(), include_builtin=True)
+        print(f"{'name':44s} {'n':>6} {'k':>6} {'rate':>7}  family")
+        for info in catalog.matrices:
+            mark = " (builtin)" if info.path.startswith("builtin:") else ""
+            print(f"{info.name:44s} {info.n:6d} {info.k:6d} {info.rate:7.4f}"
+                  f"  {info.family}{mark}")
+        print(f"\n{len(catalog)} codes ({catalog!r})")
+        return 0
+
+    if args.matrix is None:
+        print("Error: --matrix is required (or use --list-codes)")
+        return 1
 
     if args.distributed:
         from ldpc_tpu.parallel.distributed import initialize_distributed
