@@ -148,6 +148,68 @@ def de_error_probability(
     )
 
 
+def bec_erasure_fixed_point(graph, epsilon: float, iterations: int = 2000,
+                            tol: float = 1e-9) -> float:
+    """Exact protograph density evolution on the binary erasure channel.
+
+    Per-edge erasure probabilities evolve deterministically:
+        check:    y_e = 1 - prod_{e' at c, e' != e} (1 - x_{e'})
+        variable: x_e = eps * prod_{e' at v, e' != e} y_{e'}
+    Returns the residual average variable erasure probability (0 when BP
+    succeeds). No sampling -- exact to float precision.
+    """
+    edges = _edges_of(graph)
+    n_e = len(edges)
+    chk = np.array([c for c, _ in edges])
+    var = np.array([v for _, v in edges])
+    n_var = int(var.max()) + 1
+
+    def excl(group):
+        rows = [[e2 for e2 in range(n_e) if group[e2] == group[e] and e2 != e]
+                for e in range(n_e)]
+        width = max((len(r) for r in rows), default=0)
+        return np.array(
+            [r + [n_e] * (width - len(r)) for r in rows], dtype=np.int64
+        ).reshape(n_e, width)
+
+    ec, ev = excl(chk), excl(var)
+    x = np.full(n_e + 1, epsilon)
+    x[n_e] = 0.0  # sentinel: a non-edge never erases (check identity)
+    for _ in range(iterations):
+        y = 1.0 - np.prod(1.0 - x[ec], axis=1)
+        yp = np.concatenate([y, [1.0]])  # sentinel: variable identity
+        x_new = np.concatenate([epsilon * np.prod(yp[ev], axis=1), [0.0]])
+        if np.abs(x_new - x).max() < tol:
+            x = x_new
+            break
+        x = x_new
+    # a-posteriori erasure per variable: eps * prod of ALL incoming y
+    y = 1.0 - np.prod(1.0 - x[ec], axis=1)
+    post = np.full(n_var, epsilon)
+    for e in range(n_e):
+        post[var[e]] *= y[e]
+    return float(post.mean())
+
+
+def bec_threshold(graph, lo: float = 0.01, hi: float = 0.99,
+                  tol: float = 1e-4, target: float = 1e-9) -> float:
+    """BP threshold epsilon* on the BEC by bisection (exact DE).
+
+    Anchor: the (3,6)-regular ensemble has epsilon* = 0.4294.
+    """
+    if bec_erasure_fixed_point(graph, hi) < target:
+        raise ValueError(f"threshold above hi={hi}")
+    if bec_erasure_fixed_point(graph, lo) >= target:
+        raise ValueError(f"threshold below lo={lo}")
+    while hi - lo > tol:
+        mid = 0.5 * (lo + hi)
+        if bec_erasure_fixed_point(graph, mid) < target:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
 def protograph_threshold(
     graph,
     rate: float,

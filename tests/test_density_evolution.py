@@ -68,3 +68,28 @@ def test_threshold_bracket_validation():
     with pytest.raises(ValueError, match="below lo_db"):
         protograph_threshold(proto, 0.5, lo_db=3.0, hi_db=5.0,
                              iterations=40, n_samples=2000)
+
+
+def test_bec_threshold_3_6_anchor():
+    from ldpc_tpu.analysis import bec_threshold
+
+    thr = bec_threshold(regular_protograph(3, 6))
+    assert thr == pytest.approx(0.4294, abs=0.002), thr
+
+
+def test_bec_wimax_threshold_near_capacity():
+    """Rate-1/2 BEC capacity is eps = 0.5; the 802.16e protograph should get
+    within ~0.02 of it (and clearly beat the (3,6) ensemble's 0.4294)."""
+    from ldpc_tpu.analysis import bec_threshold
+
+    qc = detect_qc(wimax(576, "1/2"))
+    thr = bec_threshold(qc)
+    assert 0.43 < thr < 0.5, thr
+
+
+def test_bec_fixed_point_extremes():
+    from ldpc_tpu.analysis import bec_erasure_fixed_point
+
+    proto = regular_protograph(3, 6)
+    assert bec_erasure_fixed_point(proto, 0.05) < 1e-12
+    assert bec_erasure_fixed_point(proto, 0.9) > 0.1
