@@ -93,7 +93,11 @@ Examples:
     parser.add_argument("--adaptive-strategy", type=str, choices=["threshold"],
                         default="threshold")
     parser.add_argument("--matrix-dir", type=str, default=None,
-                        help="Matrix database directory (default: alongside --matrix)")
+                        help="Matrix database directory for adaptive rate "
+                             "switching (default: the grandparent of --matrix "
+                             "-- the database root in the reference layout, "
+                             "where matrices live in per-family subfolders; "
+                             "built-in codes need no directory)")
     parser.add_argument("--adaptive-high-ber", type=float, default=1e-2)
     parser.add_argument("--adaptive-low-ber", type=float, default=1e-5)
 
@@ -295,6 +299,9 @@ def main(argv: list[str] | None = None) -> int:
             from ldpc_tpu.models.catalog import MatrixCatalog
             from ldpc_tpu.sim.adaptive import AdaptiveController, ThresholdStrategy
 
+            if args.mesh:
+                say("Note: --mesh is ignored in adaptive mode (the adaptive "
+                    "controller runs single-device point executors)")
             matrix_dir = opts.matrix_dir
             if matrix_dir is None and os.path.isfile(opts.matrix):
                 matrix_dir = os.path.join(os.path.dirname(os.path.abspath(opts.matrix)), "..")

@@ -165,6 +165,11 @@ class AdaptiveController:
 
     def run_adaptive_sweep(self, opts: SimOptions) -> SimulationResult:
         opts = opts.resolved()
+        if not (opts.ber and opts.fer):
+            # the threshold rules read point.ber/point.fer, which the
+            # aggregator zeroes when the flags are off -- adaptation would
+            # silently degenerate to the convergence rule alone
+            opts = replace(opts, ber=True, fer=True)
         start = time.time()
         initial_code = load_code(opts.matrix)
         base_key = jax.random.key(opts.seed)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import csv
 import json
+import os
 from dataclasses import asdict, dataclass, field, fields
 from typing import List, Tuple
 
@@ -81,6 +82,7 @@ class SimulationConfig:
     schedule: str = "flooding"
     s_param: int = 2
     exact_ber: bool = False
+    adaptive: bool = False
 
 
 @dataclass
@@ -98,8 +100,12 @@ class SimulationResult:
         return d
 
     def to_json(self, filepath: str) -> None:
-        with open(filepath, "w", encoding="utf-8") as f:
+        # atomic write: checkpoints are flushed mid-run and must survive a
+        # kill during the dump (temp file + rename on the same filesystem)
+        tmp = f"{filepath}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
             json.dump(self.to_dict(), f, indent=2, ensure_ascii=False)
+        os.replace(tmp, filepath)
 
     def to_csv(self, filepath: str) -> None:
         """Per-SNR rows with the reference's exact column set (results.py:86-92)."""

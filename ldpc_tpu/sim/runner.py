@@ -353,12 +353,24 @@ class PointExecutor:
 
 
 def snr_steps(initial: float, end: float, step: float) -> list[float]:
-    """SNR grid with the reference's stepping (main.py:193, 206-209)."""
+    """SNR grid with the reference's stepping (main.py:193, 206-209).
+
+    Validated (step > 0, end >= initial) and de-duplicated: the reference's
+    ceil + clamp construction repeats the end point when (end-initial)/step
+    is an exact multiple that float division rounds up.
+    """
+    if step <= 0:
+        raise ValueError(f"step_snr must be positive, got {step}")
+    if end < initial:
+        raise ValueError(
+            f"end_snr ({end}) must be >= initial_snr ({initial})"
+        )
     num_steps = int(math.ceil((end - initial) / step)) + 1
-    values = []
+    values: list[float] = []
     for i in range(num_steps):
-        snr = initial + i * step
-        values.append(min(snr, end))
+        snr = min(initial + i * step, end)
+        if not values or snr != values[-1]:
+            values.append(snr)
     return values
 
 
@@ -436,6 +448,7 @@ def make_sim_config(opts: SimOptions, code: LDPCCode) -> SimulationConfig:
         schedule=opts.schedule,
         s_param=opts.s_param,
         exact_ber=opts.exact_ber,
+        adaptive=opts.adaptive,
     )
 
 
@@ -451,7 +464,7 @@ def sweep_fingerprint(config: SimulationConfig) -> tuple:
         config.interference_snr, config.p, config.fidelity,
         config.decode_graph, config.check_rule, config.noise_model,
         config.seed, config.shorten, config.puncture, config.schedule,
-        config.s_param, config.exact_ber,
+        config.s_param, config.exact_ber, config.adaptive,
     )
 
 
@@ -494,13 +507,15 @@ def run_simulation(
     if code is None:
         code = load_code(opts.matrix)
 
-    executor = PointExecutor(code, opts, mesh=mesh)
     base_key = jax.random.key(opts.seed)
-
     say = (lambda *a, **kw: None) if opts.quiet else print
     config = make_sim_config(opts, code)
     prior = load_checkpoint(opts, config, say)
     snr_points: list[SNRPointResult] = list(prior.snr_points) if prior else []
+
+    # executor construction (GF(2) elimination, decoder build) is deferred:
+    # a checkpoint that already covers the whole sweep skips it entirely
+    executor: PointExecutor | None = None
 
     say("Processing blocks across SNR points...")
     say("-" * 60)
@@ -511,6 +526,8 @@ def run_simulation(
         ):
             if idx < len(snr_points):
                 continue  # completed before resume
+            if executor is None:
+                executor = PointExecutor(code, opts, mesh=mesh)
             say(f"\nSNR: {snr:.2f} dB")
             t_point = time.time()
             stats = executor.run_point(snr, opts.blocks, base_key, idx)
@@ -644,25 +661,26 @@ def run_simulation_parallel(
     stats_list = [PointStats() for _ in range(Sp)]
     remaining = opts.blocks
     batch_idx = 0
-    while remaining > 0:
-        take = min(remaining, executor.batch)
-        keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
-            point_keys, batch_idx
-        )
-        stats, iters_run = sweep(keys, consts_stack)
-        counters = reduce_v(stats, jnp.int32(take))
-        host = jax.tree.map(np.asarray, counters)
-        for s in range(Sp):
-            stats_list[s].add(jax.tree.map(lambda x: x[s], host))
-        executor.total_iters_run += int(np.max(np.asarray(iters_run)))
-        remaining -= take
-        batch_idx += 1
-        # early stop once EVERY real point has its frame-error quota (the
-        # batch applies to all points at once, so the slowest point governs)
-        if opts.target_errors and all(
-            stats_list[s].fer_frames >= opts.target_errors for s in range(S)
-        ):
-            break
+    with _profiled_sweep(opts.profile):
+        while remaining > 0:
+            take = min(remaining, executor.batch)
+            keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                point_keys, batch_idx
+            )
+            stats, iters_run = sweep(keys, consts_stack)
+            counters = reduce_v(stats, jnp.int32(take))
+            host = jax.tree.map(np.asarray, counters)
+            for s in range(Sp):
+                stats_list[s].add(jax.tree.map(lambda x: x[s], host))
+            executor.total_iters_run += int(np.max(np.asarray(iters_run)))
+            remaining -= take
+            batch_idx += 1
+            # early stop once EVERY real point has its frame-error quota (the
+            # batch applies to all points at once; the slowest point governs)
+            if opts.target_errors and all(
+                stats_list[s].fer_frames >= opts.target_errors for s in range(S)
+            ):
+                break
 
     snr_points = [
         build_point_result(snrs[s], stats_list[s], opts, executor.k_active)

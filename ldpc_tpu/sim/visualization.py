@@ -14,7 +14,10 @@ import os
 try:
     import matplotlib
 
-    matplotlib.use("Agg")
+    # Headless default only: forcing Agg unconditionally would make the
+    # CLI's --plot (plt.show) a silent no-op on machines with a display.
+    if not os.environ.get("DISPLAY") and not os.environ.get("MPLBACKEND"):
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     HAS_MATPLOTLIB = True

@@ -118,3 +118,41 @@ def test_fingerprint_sensitive_to_new_knobs(tmp_path):
     assert len(r.snr_points) == 3
     saved = SimulationResult.from_json(ckpt)
     assert saved.config.shorten == 48
+
+
+def test_adaptive_and_plain_checkpoints_incompatible(tmp_path):
+    """An adaptive run's checkpoint must not resume a plain sweep (points
+    were decoded with adaptation-modified parameters)."""
+    from ldpc_tpu.models.catalog import MatrixCatalog
+    from ldpc_tpu.sim.adaptive import AdaptiveController, ThresholdStrategy
+
+    ckpt = str(tmp_path / "ck.json")
+    opts = _opts(tmp_path, matrix="builtin:wimax_576_0.5.alist.txt",
+                 blocks=32, batch=32, adaptive=True, checkpoint=ckpt)
+    AdaptiveController(ThresholdStrategy(), MatrixCatalog(None)).run_adaptive_sweep(opts)
+
+    plain = run_simulation(_opts(tmp_path, matrix="builtin:wimax_576_0.5.alist.txt",
+                                 blocks=32, batch=32, checkpoint=ckpt,
+                                 resume=True, quiet=False))
+    # fresh start (fingerprint differs by the adaptive flag) -> 3 new points
+    assert len(plain.snr_points) == 3
+
+
+def test_snr_steps_validation_and_dedup():
+    from ldpc_tpu.sim.runner import snr_steps
+
+    assert snr_steps(0.0, 0.2, 0.1) == [0.0, 0.1, 0.2]  # no duplicate end
+    assert snr_steps(1.0, 1.0, 0.5) == [1.0]
+    with pytest.raises(ValueError, match="positive"):
+        snr_steps(0.0, 1.0, 0.0)
+    with pytest.raises(ValueError, match=">= initial"):
+        snr_steps(2.0, 1.0, 0.5)
+
+
+def test_checkpoint_write_is_atomic(tmp_path):
+    """to_json writes via temp+rename; no .tmp residue, valid JSON."""
+    ckpt = str(tmp_path / "ck.json")
+    run_simulation(_opts(tmp_path, checkpoint=ckpt))
+    assert os.path.exists(ckpt)
+    assert not os.path.exists(ckpt + ".tmp")
+    SimulationResult.from_json(ckpt)  # parses
