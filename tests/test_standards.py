@@ -157,3 +157,16 @@ def test_builtin_catalog_navigation():
     assert lower is not None and lower.rate == 0.5
     # bare names also resolve
     assert cat.find_by_path("wimax_576_0.83.alist.txt") is not None
+
+
+def test_all_119_builtins_construct_as_codes():
+    """Every built-in code must survive the full LDPCCode chain: RREF,
+    rank handling, generator construction, G.H^T validation, edge layouts."""
+    failures = []
+    for name in standards.builtin_names():
+        try:
+            code = LDPCCode(alist=standards.make_builtin(name), name=name)
+            assert code.k > 0 and code.layout("orig").n_edges > 0
+        except Exception as e:  # pragma: no cover - failure reporting
+            failures.append((name, repr(e)))
+    assert not failures, failures
