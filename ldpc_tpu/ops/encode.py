@@ -37,5 +37,14 @@ def make_encoder(spec, graph: str = "orig"):
 
 
 def random_info_bits(key: jax.Array, batch: int, k: int) -> jax.Array:
-    """Uniform random info bits [batch, k] as uint8 (generator.py:7-9 analogue)."""
-    return jax.random.bernoulli(key, 0.5, (batch, k)).astype(jnp.uint8)
+    """Uniform random info bits [batch, k] as uint8 (generator.py:7-9 analogue).
+
+    Bit-packed: one threefry word yields 32 bits (bernoulli would burn a
+    whole uint32 per bit -- the PRNG is a measurable share of the full
+    Monte-Carlo step, see STATUS.md perf notes).
+    """
+    words = (k + 31) // 32
+    raw = jax.random.bits(key, (batch, words), dtype=jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = ((raw[..., None] >> shifts) & 1).astype(jnp.uint8)
+    return bits.reshape(batch, words * 32)[:, :k]

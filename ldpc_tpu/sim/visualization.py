@@ -67,6 +67,33 @@ class SimulationPlotter:
         lbl = label or f"Rate={self.result.config.rate:.3f}"
         plot = ax.semilogy if logy else ax.plot
         plot(xs, ys, style, label=lbl, markersize=5)
+        if metric == "fer":
+            # 95% Wilson interval from the exact frame counts -- makes the
+            # Monte-Carlo uncertainty of sparse-error points visible
+            los, his = [], []
+            by_snr = {p.snr_db: p for p in pts}
+            for s, v in pairs:
+                p = by_snr[s]
+                n_tr, n_err = p.total_blocks, p.failed_blocks
+                if n_tr <= 0:
+                    los.append(v)
+                    his.append(v)
+                    continue
+                z = 1.96
+                ph = n_err / n_tr
+                den = 1 + z * z / n_tr
+                center = (ph + z * z / (2 * n_tr)) / den
+                half = (z / den) * (
+                    (ph * (1 - ph) / n_tr + z * z / (4 * n_tr * n_tr)) ** 0.5
+                )
+                los.append(max(center - half, 1e-300))
+                his.append(center + half)
+            # the Wilson center is shrunk toward 1/2, so at ph near 0 or 1 the
+            # bound can sit on one side of the plotted MLE -- clamp to >= 0
+            yerr = [[max(y - lo, 0.0) for y, lo in zip(ys, los)],
+                    [max(hi - y, 0.0) for y, hi in zip(ys, his)]]
+            ax.errorbar(xs, ys, yerr=yerr, fmt="none", ecolor="gray",
+                        elinewidth=1, capsize=2, alpha=0.6)
         ax.set_xlabel("SNR (dB)")
         ax.set_ylabel(ylabel)
         ax.set_title(title)
