@@ -104,9 +104,13 @@ Examples:
     # --- TPU-native flags ---
     parser.add_argument("--fidelity", type=str, choices=["reference", "exact"],
                         default="reference",
-                        help="'reference': bit-compatible with the reference simulator "
-                             "(H_std graph, legacy check rule, legacy noise). "
-                             "'exact': sparse graph, correct SPA, calibrated noise.")
+                        help="'reference' (default): bit-compatible with the reference "
+                             "simulator (H_std graph, legacy check rule, legacy noise) "
+                             "-- this is the SLOW parity mode: the ~40x-denser H_std "
+                             "graph is ineligible for the fused TPU kernel. "
+                             "'exact': original sparse graph, correct SPA parity rule, "
+                             "calibrated noise -- the fast TPU path; use it unless you "
+                             "need curve-for-curve agreement with the reference.")
     parser.add_argument("--decode-graph", type=str, choices=["std", "orig"], default=None,
                         help="Override the decode Tanner graph")
     parser.add_argument("--check-rule", type=str, choices=["legacy", "exact"], default=None,
@@ -276,6 +280,9 @@ def main(argv: list[str] | None = None) -> int:
     say(f"SNR range: {opts.initial_snr} - {opts.end_snr} dB (step {opts.step_snr} dB)")
     say(f"Fidelity: {opts.fidelity} (graph={opts.decode_graph}, "
         f"rule={opts.check_rule}, noise={opts.noise_model})")
+    if opts.fidelity == "reference":
+        say("  note: 'reference' is the slow parity mode (dense H_std graph, "
+            "no fused kernel); pass --fidelity exact for the fast TPU path")
     if opts.adaptive:
         say(f"Adaptive mode: on (strategy: {opts.adaptive_strategy})")
     say("=" * 60)

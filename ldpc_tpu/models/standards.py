@@ -457,7 +457,6 @@ def _builtin_registry() -> dict[str, Callable[[], AlistMatrix]]:
     reg["wigig_R075_N672_K504.alist.txt"] = lambda: wigig("3/4")
     reg["ieee_802_11ad_p42_n672_r081.alist.txt"] = lambda: wigig("13/16")
     for n in (32, 128, 256, 512):
-        sub = "Custom LDPC Codes" if n == 32 else None
         reg[f"CCSDS_ldpc_n{n}_k{n // 2}.alist.txt"] = lambda n=n: ccsds(n)
     reg["LDPC_N336_K196_ITU_G.h.alist.txt"] = itu_gh_336
     reg["Tanner_155_64.alist.txt"] = tanner_155

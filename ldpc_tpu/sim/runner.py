@@ -222,6 +222,14 @@ class PointExecutor:
             raise ValueError(f"puncture={P} out of range [0, n-k={n_parity})")
         self.k_active = code.k - S
         self.effective_rate = self.k_active / max(code.n - S - P, 1)
+        if (S or P) and abs(opts.speed - self.effective_rate) > 1e-9 and not opts.quiet:
+            print(
+                f"Note: shorten/puncture give an effective rate of "
+                f"{self.effective_rate:.4f} but the Eb/N0 scaling uses "
+                f"--speed {opts.speed:g}; pass --speed "
+                f"{self.effective_rate:.6g} if the SNR axis should be "
+                f"per-info-bit of the adapted code"
+            )
         short_pos = np.asarray(info_pos[self.k_active:], dtype=np.int64)
         parity_pos = np.setdiff1d(
             np.arange(code.n, dtype=np.int64), np.asarray(info_pos, np.int64)
@@ -672,7 +680,9 @@ def run_simulation_parallel(
             host = jax.tree.map(np.asarray, counters)
             for s in range(Sp):
                 stats_list[s].add(jax.tree.map(lambda x: x[s], host))
-            executor.total_iters_run += int(np.max(np.asarray(iters_run)))
+            # sum per-point iteration counts (same meaning as the sequential
+            # runner's accumulation, one count per SNR point per dispatch)
+            executor.total_iters_run += int(np.sum(np.asarray(iters_run)))
             remaining -= take
             batch_idx += 1
             # early stop once EVERY real point has its frame-error quota (the
