@@ -5,14 +5,21 @@ Measures sustained decoded info bits/s/chip of the complete simulation step
 syndrome early termination -> metric counters) at Eb/N0 = 2 dB (speed=0.5:
 SNR is per info bit, so the rate-1/2 code runs ~1 dB above threshold with
 FER ~1e-2) with exact (physically calibrated) noise on the original sparse
-Tanner graph, max 20 iterations -- a true waterfall operating point where
-the decoder works hard: nearly every batch carries failing codewords, so
-iteration early-exit cannot short-circuit the measurement.
+Tanner graph -- a true waterfall operating point where the decoder works
+hard: nearly every batch carries failing codewords, so iteration early-exit
+cannot short-circuit the measurement.
 
 Decode schedule: layered (serial-C) at 12 iterations -- it reaches a LOWER
 FER than the reference's flooding schedule at 20 iterations (0.006 vs 0.011
 measured at this operating point), so the comparison concedes nothing on
-error-correction quality.
+error-correction quality. On TPU the executor auto-selects the fully-fused
+Monte-Carlo kernel (ldpc_tpu.ops.mc_pallas): channel noise from the
+in-kernel PRNG, decode, and counters in ONE Pallas kernel.
+
+Metrology: the remote-TPU tunnel shows 2x dispatch-throughput swings between
+identical runs, so the bench times NW windows of NS steps each and reports
+the MEDIAN window (min/median/max go to stderr); the JSON value is the
+median-window throughput.
 
 Baseline: the reference simulator processes ~363 info bits/s single-threaded
 (300 codewords of k=288 in 237.7 s, python_ldpc_app/results.json); measured
@@ -32,9 +39,7 @@ BASELINE_INFO_BITS_PER_S = 363.0  # reference: 288*300/237.74 (BASELINE.md)
 
 def main() -> int:
     import jax
-    import jax.numpy as jnp
 
-    from ldpc_tpu.ops.channel import ChannelParams
     from ldpc_tpu.sim.config import SimOptions
     from ldpc_tpu.sim.runner import PointExecutor
     from __graft_entry__ import _flagship_code
@@ -50,48 +55,50 @@ def main() -> int:
         fidelity="exact",
         batch=batch,
         seed=0,
+        speed=0.5,  # Eb/N0 axis: rate-1/2 waterfall at 2 dB
         schedule="layered",
     )
     executor = PointExecutor(code, opts)
-    consts = ChannelParams(snr_db=2.0, speed=0.5, noise_model="exact").consts()
     key = jax.random.key(0)
 
-    # compile + warmup: several full loops -- the first dispatches after
-    # compilation pay one-time runtime/transfer costs (esp. via remote TPU
-    # tunnels), so warm until per-step time stabilizes
-    for w in range(5):
-        for i in range(5):
-            stats, _ = executor._step(jax.random.fold_in(key, 1000 * w + i), consts)
-            counters = executor._reduce(stats, jnp.int32(batch))
-        jax.block_until_ready(counters)
+    # compile + warmup: run the production point loop at the SAME shape as
+    # the timed windows (one scan-of-40 dispatch group) -- the first
+    # dispatches after compilation pay one-time runtime/transfer costs
+    # (esp. via remote TPU tunnels)
+    n_timed_batches = 40
+    for w in range(2):
+        executor.run_point(
+            2.0, batch * n_timed_batches, jax.random.fold_in(key, 999 + w), w
+        )
 
-    # timed region: stream batches like the production sweep does; take the
-    # median of several windows (remote-TPU tunnels show 2x throughput
-    # swings between windows, so the median needs a wide sample)
-    n_timed, n_windows = 20, 9
+    # timed region: the PRODUCTION streaming path (run_point), which on the
+    # fused TPU path scans 8 Monte-Carlo batches per dispatch. Long windows
+    # (NS batches) average out per-dispatch tunnel jitter; the median across
+    # NW windows rejects slow-window outliers.
+    n_timed, n_windows = n_timed_batches, 9
+    codewords = n_timed * batch  # per window
     window_times = []
-    totals = None
+    fer_frames = 0
     for w in range(n_windows):
         t0 = time.perf_counter()
-        for i in range(n_timed):
-            stats, _ = executor._step(jax.random.fold_in(key, 37 * w + i), consts)
-            counters = executor._reduce(stats, jnp.int32(batch))
-            totals = counters if totals is None else totals + counters
-        jax.block_until_ready(totals)
+        s = executor.run_point(2.0, codewords, jax.random.fold_in(key, w), w)
         window_times.append(time.perf_counter() - t0)
-    elapsed = sorted(window_times)[len(window_times) // 2]
+        fer_frames += s.fer_frames
+    window_times.sort()
+    elapsed = window_times[len(window_times) // 2]
 
-    codewords = n_timed * batch  # per window
     info_bits = codewords * code.k
     bits_per_s = info_bits / elapsed
 
     # context to stderr (driver reads only the stdout JSON line)
-    fer = float(totals.fer_frames) / (n_windows * codewords)
+    fer = fer_frames / (n_windows * codewords)
+    spread = [info_bits / t for t in (window_times[-1], elapsed, window_times[0])]
     print(
         f"# code={code.name} n={code.n} k={code.k} batch={batch} "
-        f"codewords={codewords} elapsed={elapsed:.3f}s "
-        f"cw/s={codewords / elapsed:,.0f} FER@2dB={fer:.4f} "
-        f"device={jax.devices()[0].device_kind}",
+        f"kernel={executor.kernel_used} codewords/window={codewords} "
+        f"median_window={elapsed:.3f}s cw/s={codewords / elapsed:,.0f} "
+        f"bits/s min/med/max={spread[0]:,.0f}/{spread[1]:,.0f}/{spread[2]:,.0f} "
+        f"FER@2dB={fer:.4f} device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
 

@@ -125,6 +125,12 @@ Examples:
     parser.add_argument("--kernel", type=str, choices=["auto", "pallas", "xla"],
                         default="auto",
                         help="Decode kernel: fused Pallas QC kernel or XLA gather decoder")
+    parser.add_argument("--fused", type=str, choices=["auto", "on", "off"],
+                        default="auto",
+                        help="Fully-fused Monte-Carlo step (channel noise from the "
+                             "in-kernel TPU PRNG + decode + counters in one Pallas "
+                             "kernel). 'auto': on TPU whenever eligible; 'off': keep "
+                             "the XLA pipeline around the decode kernel")
     parser.add_argument("--schedule", type=str, choices=["flooding", "layered"],
                         default="flooding",
                         help="Message-passing schedule: 'flooding' (the reference's) "
@@ -212,6 +218,7 @@ def options_from_args(args: argparse.Namespace) -> SimOptions:
         seed=args.seed,
         exact_ber=args.exact_ber,
         kernel=args.kernel,
+        fused=args.fused,
         schedule=args.schedule,
         shorten=args.shorten,
         puncture=args.puncture,
@@ -306,9 +313,25 @@ def main(argv: list[str] | None = None) -> int:
             from ldpc_tpu.models.catalog import MatrixCatalog
             from ldpc_tpu.sim.adaptive import AdaptiveController, ThresholdStrategy
 
+            mesh = None
             if args.mesh:
-                say("Note: --mesh is ignored in adaptive mode (the adaptive "
-                    "controller runs single-device point executors)")
+                from ldpc_tpu.parallel.mesh import make_mesh
+
+                axes = {}
+                for part in args.mesh.split(","):
+                    name, _, size = part.partition("=")
+                    axes[name.strip()] = int(size)
+                if "snr" in axes:
+                    say("Note: adaptive mode evaluates SNR points sequentially "
+                        "(parameters depend on the previous point); the 'snr' "
+                        "mesh axis is folded into 'batch'")
+                    total = 1
+                    for v in axes.values():
+                        total *= v
+                    axes = {"batch": total}
+                mesh = make_mesh(axes)
+                say(f"Adaptive executors shard the codeword batch over mesh "
+                    f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
             matrix_dir = opts.matrix_dir
             if matrix_dir is None and os.path.isfile(opts.matrix):
                 matrix_dir = os.path.join(os.path.dirname(os.path.abspath(opts.matrix)), "..")
@@ -318,7 +341,7 @@ def main(argv: list[str] | None = None) -> int:
                 high_ber_threshold=opts.adaptive_high_ber,
                 low_ber_threshold=opts.adaptive_low_ber,
             )
-            controller = AdaptiveController(strategy, catalog)
+            controller = AdaptiveController(strategy, catalog, mesh=mesh)
             sim_result = controller.run_adaptive_sweep(opts)
         elif args.mesh:
             from ldpc_tpu.parallel.mesh import make_mesh

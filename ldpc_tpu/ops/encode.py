@@ -36,6 +36,32 @@ def make_encoder(spec, graph: str = "orig"):
     return encode
 
 
+def make_encoder_T(spec, graph: str = "orig"):
+    """Build ``encode_T(u: [B, k]) -> f32 [n, B]``: the transposed codeword.
+
+    Same GF(2) systematic encode as :func:`make_encoder` but emitting
+    codewords on the MINOR axis -- the layout the fused Monte-Carlo kernel
+    (ldpc_tpu.ops.mc_pallas) consumes directly, with the domain gather folded
+    into the generator so the whole encode is ONE MXU matmul.
+    """
+    k, n_minus_k = spec.P.shape
+    n = k + n_minus_k
+    dm = np.asarray(spec.domain_map(graph))
+    # w = u @ Gfull with Gfull[:, j] = e_{dm[j]} (info) or P[:, dm[j]-k]
+    Gfull = np.zeros((k, n), dtype=np.float32)
+    info_cols = dm < k
+    Gfull[dm[info_cols], np.nonzero(info_cols)[0]] = 1.0
+    Gfull[:, ~info_cols] = spec.P[:, dm[~info_cols] - k]
+    GT = jnp.asarray(Gfull.T)  # [n, k]
+
+    def encode_T(u: jax.Array) -> jax.Array:
+        uT = u.astype(jnp.float32).T  # [k, B]
+        x = jnp.dot(GT, uT, preferred_element_type=jnp.float32)
+        return jnp.mod(x, 2.0)
+
+    return encode_T
+
+
 def random_info_bits(key: jax.Array, batch: int, k: int) -> jax.Array:
     """Uniform random info bits [batch, k] as uint8 (generator.py:7-9 analogue).
 

@@ -7,11 +7,14 @@ across the graph within a single pass -- it reaches a given FER in roughly
 half the iterations of flooding (standard result; measured in
 tests/test_layered.py).
 
-For a quasi-cyclic code each BASE ROW is a natural layer: its Z checks touch
-every variable at most once (block columns are single circulants), so the
-in-place posterior update is conflict-free and the layer sweep is a static
-Python loop over ``mb`` base rows of roll + elementwise math -- the same
-TPU-friendly structure as the flooding kernel (ldpc_tpu.ops.spa_pallas).
+For a quasi-cyclic code each BASE ROW is a natural layer, and the layer sweep
+is a static Python loop over ``mb`` base rows of roll + elementwise math --
+the same TPU-friendly structure as the flooding kernel
+(ldpc_tpu.ops.spa_pallas). Single-circulant layers update the posterior by
+overwrite (L := roll(m + E')); layers with multi-diagonal blocks (one base
+row touching a base column at two shifts, e.g. CCSDS '0+7') use the
+algebraically-equivalent additive form L += roll(E' - E) so both circulants'
+extrinsic deltas accumulate instead of the second overwriting the first.
 
 Update per layer bi, slot j (variable block c(bi,j), shift s):
     m_j   = roll(L[c], s) - E[bi, j]          # extrinsic prior
@@ -99,11 +102,6 @@ def make_qc_layered_decoder(
     cleared.
     """
     variant = variant.lower().replace("-", "_")
-    if not qc.single_diagonal:
-        raise ValueError(
-            "layered schedule needs single-diagonal circulant blocks; this "
-            "code has multi-diagonal blocks (base rows are not conflict-free)"
-        )
     n, Z, nb, mb = qc.n, qc.Z, qc.nb, qc.mb
     row_slots = qc.row_slots()
     info_pos = jnp.asarray(np.asarray(info_pos, dtype=np.int32))
@@ -147,11 +145,28 @@ def make_qc_layered_decoder(
                     for j, (bj, s) in enumerate(slots)
                 ]
                 e_new = _check_update_list(msgs, variant, alpha, beta)
-                for j, (bj, s) in enumerate(slots):
-                    l_new = unroll(msgs[j] + e_new[j], s)
-                    L = L.at[:, bj].set(
-                        jnp.where(active[:, None], l_new, L[:, bj])
-                    )
+                dup = len({bj for bj, _ in slots}) < len(slots)
+                if dup:
+                    # multi-diagonal layer (e.g. CCSDS '0+7'): a base row
+                    # touches one base column at two shifts, so both
+                    # circulants' extrinsic deltas must accumulate -- the
+                    # overwrite form below would drop the first one. Delta
+                    # order mirrors the Pallas kernel for bit-identity.
+                    deltas: dict[int, jax.Array] = {}
+                    for j, (bj, s) in enumerate(slots):
+                        d = unroll(e_new[j] - E[:, bi, j], s)
+                        deltas[bj] = d if bj not in deltas else deltas[bj] + d
+                    for bj, d in deltas.items():
+                        L = L.at[:, bj].set(
+                            jnp.where(active[:, None], L[:, bj] + d, L[:, bj])
+                        )
+                else:
+                    for j, (bj, s) in enumerate(slots):
+                        l_new = unroll(msgs[j] + e_new[j], s)
+                        L = L.at[:, bj].set(
+                            jnp.where(active[:, None], l_new, L[:, bj])
+                        )
+                for j in range(len(slots)):
                     E = E.at[:, bi, j].set(
                         jnp.where(active[:, None], e_new[j], E[:, bi, j])
                     )

@@ -1,0 +1,337 @@
+"""Fully-fused Monte-Carlo simulation step as one Pallas TPU kernel.
+
+One kernel invocation per codeword tile performs the whole per-block pipeline
+of the reference simulator (`python_ldpc_app/main.py:43-146`) except the
+encode matmul: BPSK/QPSK-proxy modulation, AWGN / partial-band / jamming
+noise drawn from the in-kernel hardware PRNG (Box-Muller), per-bit channel
+LLRs (`channel.py:38-100` semantics), the full QC SPA/min-sum decode
+(flooding or layered, shared loop with ldpc_tpu.ops.spa_pallas), and the
+BER/FER/convergence counters (`main.py:319-339` conventions).
+
+Why: at the waterfall operating point the XLA pipeline AROUND the decode
+kernel (PRNG, channel, [B, n] LLR materialization, estimate write-back,
+metric gathers) costs as much as a 12-iteration layered decode
+(STATUS.md round-1 measurement). Fusing it means per batch the only HBM
+traffic is the [n, B] encoded-bit matrix read once per tile and five
+[1, B] counter rows written -- everything else lives in VMEM/registers.
+
+The encode stays OUTSIDE the kernel as a dense GF(2) matmul on the MXU
+(``parity = u @ P mod 2`` is exact in f32, ldpc_tpu.ops.encode): inside the
+kernel it would pin an [n, k] generator in VMEM (10+ MB for WiMAX n=2304),
+while outside it is a ~0.2 ms MXU op whose [n, B] f32 output costs one
+streamed read.
+
+Noise notes:
+  * Normals use Box-Muller with 24-bit uniforms: the magnitude is capped at
+    sqrt(-2 ln 2^-24) = 5.77 sigma. Irrelevant above FER ~1e-8/bit; the
+    unfused path keeps jax.random.normal for tail-critical studies.
+  * ``noise_source='hw'`` (TPU) seeds the per-core PRNG from (seed0, seed1,
+    tile); ``noise_source='input'`` takes pre-drawn uint32 words as an extra
+    input -- it runs in interpret mode on CPU and lets tests replay the
+    exact draw stream through an independent jnp implementation
+    (tests/test_mc_fused.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ldpc_tpu.models.qc import QCLayout
+from ldpc_tpu.ops.metrics import BlockStats
+from ldpc_tpu.ops.spa_pallas import VMEM_BUDGET, make_decode_loop
+
+TWO_PI = 2.0 * math.pi
+_U24 = float(2.0**-24)
+_HALF_U24 = float(2.0**-25)
+
+
+def _uniform01(raw_u32: jax.Array) -> jax.Array:
+    """uint32 -> f32 uniform in (0, 1): 24-bit mantissa, never 0 or 1.
+
+    The shifted value fits 24 bits, so the int32 hop is exact (Mosaic has no
+    direct uint32 -> float32 cast)."""
+    return (
+        (raw_u32 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
+        * _U24 + _HALF_U24
+    )
+
+
+def box_muller(raw1: jax.Array, raw2: jax.Array) -> jax.Array:
+    """Standard normal from two uint32 words (cosine branch)."""
+    u1 = _uniform01(raw1)
+    u2 = _uniform01(raw2)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(TWO_PI * u2)
+
+
+# draws of one uint32 word per bit, by channel mode:
+#   mode 1: 2 (one normal)   mode 2: 5 (two normals + jam uniform)
+#   mode 3: 4 (two normals)
+DRAWS_PER_BIT = {1: 2, 2: 5, 3: 4}
+
+# SMEM layout of the runtime channel constants (matches ChannelConsts order)
+_CONSTS = ("noise1_std", "llr_scale", "sigma1", "sigma2", "l_c1", "l_c2",
+           "l_c3", "p")
+
+
+def consts_vector(consts) -> jax.Array:
+    """ChannelConsts -> f32 [8] vector for the kernel's SMEM input."""
+    return jnp.stack([getattr(consts, f) for f in _CONSTS]).astype(jnp.float32)
+
+
+def make_mc_decoder(
+    qc: QCLayout,
+    info_pos: np.ndarray,
+    max_iterations: int,
+    variant: str = "spa",
+    *,
+    mode: int = 1,
+    modulation: int = 1,
+    alpha: float = 0.75,
+    beta: float = 0.15,
+    tile_b: int = 128,
+    schedule: str = "flooding",
+    noise_source: str = "hw",
+    interpret: bool = False,
+):
+    """Build ``mc_step(wT, consts_vec, seeds[, raw]) -> BlockStats-like``.
+
+    ``wT``: f32 [n, B] encoded codeword bits in the decode domain (0/1),
+    codewords on the minor axis. ``consts_vec``: f32 [8] from
+    :func:`consts_vector`. ``seeds``: int32 [2] PRNG seed (hw source).
+    ``raw``: uint32 [draws, n, B] pre-drawn words (input source).
+
+    Returns per-codeword arrays ``(err_bits, ok, conv_iter, norm_llr,
+    iters)`` with shapes int32/bool/int32/f32/int32 [B]; ``err_bits`` counts
+    info-bit mismatches vs the transmitted word for EVERY frame (callers
+    apply the reference's failed-frames-only rule, metrics.block_stats).
+    """
+    variant = variant.lower().replace("-", "_")
+    if variant not in ("spa", "minsum", "normalized_minsum", "offset_minsum"):
+        raise ValueError(f"MC kernel does not support variant {variant!r}")
+    if schedule not in ("flooding", "layered"):
+        raise ValueError(f"Unknown schedule: {schedule!r}")
+    if mode not in (1, 2, 3):
+        raise ValueError(f"Unknown channel mode: {mode}")
+    if modulation not in (1, 2):
+        raise ValueError("MC kernel supports modulation 1 (BPSK) / 2 (QPSK proxy)")
+    if noise_source not in ("hw", "input"):
+        raise ValueError(f"Unknown noise source: {noise_source!r}")
+
+    n, Z, nb, mb = qc.n, qc.Z, qc.nb, qc.mb
+    row_slots = qc.row_slots()
+    dcb = max((len(r) for r in row_slots), default=1)
+    k = int(np.asarray(info_pos).shape[0])
+    amp = 1.0 if modulation == 1 else 0.7  # channel.py:49-51
+    draws = DRAWS_PER_BIT[mode]
+    hw = noise_source == "hw"
+
+    info_mask = np.zeros((n, 1), dtype=np.float32)
+    info_mask[np.asarray(info_pos, dtype=np.int64), 0] = 1.0
+
+    loop = make_decode_loop(
+        qc, max_iterations, variant, alpha=alpha, beta=beta,
+        tile_b=tile_b, schedule=schedule, k=k,
+    )
+
+    def channel_llr(x_blk, raw_blk, c):
+        """One base column's channel LLRs in the log(p0/p1) domain ([Z, TB]).
+
+        ``x_blk``: transmitted bits 0/1; ``raw_blk(d)``: d-th uint32 word
+        plane; ``c(name)``: runtime scalar. Negation into log(p0/p1) is
+        fused (the decode loop runs the exact parity rule)."""
+        sym = (2.0 * x_blk - 1.0) * amp
+        if mode == 1:
+            noise = c("noise1_std") * box_muller(raw_blk(0), raw_blk(1))
+            llr = c("llr_scale") * (sym + noise)
+        elif mode == 2:
+            n1 = c("sigma1") * box_muller(raw_blk(0), raw_blk(1))
+            n2 = c("sigma2") * box_muller(raw_blk(2), raw_blk(3))
+            jam = _uniform01(raw_blk(4)) < c("p")
+            llr = jnp.where(jam, (sym + n1 + n2) * c("l_c2"),
+                            (sym + n1) * c("l_c1"))
+        else:  # mode 3
+            n1 = c("sigma1") * box_muller(raw_blk(0), raw_blk(1))
+            n2 = c("sigma2") * box_muller(raw_blk(2), raw_blk(3))
+            llr = ((sym + n1 + n2) * c("p") + (sym + n1) * (1.0 - c("p"))) \
+                * c("l_c3")
+        return -llr
+
+    def kernel(consts_ref, seeds_ref, w_ref, mask_ref, *refs):
+        if hw:
+            err_ref, ok_ref, conv_ref, norm_ref, iters_ref, \
+                E_ref, L_ref, prior_ref, llr_ref = refs
+        else:
+            raw_in, err_ref, ok_ref, conv_ref, norm_ref, iters_ref, \
+                E_ref, L_ref, prior_ref, llr_ref = refs
+        TB = tile_b
+
+        def c(name):
+            return consts_ref[_CONSTS.index(name)]
+
+        if hw:
+            # Mosaic's prng_seed takes at most 2 words: fold the tile index
+            # into the first with a Weyl-sequence odd constant (golden-ratio
+            # hash; int32 wrap-around is the intended mixing)
+            tile_mix = pl.program_id(0) * jnp.int32(-1640531527)
+            pltpu.prng_seed(seeds_ref[0] + tile_mix, seeds_ref[1])
+
+        def x_blk(j):
+            return w_ref[pl.ds(j * Z, Z), :]
+
+        # ---- channel: fill the LLR scratch block by block ----
+        for bj in range(nb):
+            if hw:
+                planes = [
+                    pltpu.bitcast(pltpu.prng_random_bits((Z, TB)), jnp.uint32)
+                    for _ in range(draws)
+                ]
+
+                def raw_blk(d, planes=planes):
+                    return planes[d]
+            else:
+                def raw_blk(d, bj=bj):
+                    return raw_in[d, pl.ds(bj * Z, Z), :]
+
+            llr_ref[bj] = channel_llr(x_blk(bj), raw_blk, c)
+
+        def mask_blk(j):
+            return mask_ref[pl.ds(j * Z, Z), :]
+
+        it, done_f, conv, norm = loop(
+            lambda j: llr_ref[j], mask_blk, E_ref, L_ref, prior_ref
+        )
+
+        # ---- counters: info-bit mismatches vs the transmitted word ----
+        err = jnp.zeros((1, TB), jnp.float32)
+        for bj in range(nb):
+            est = (L_ref[bj] < 0).astype(jnp.float32)
+            neq = (est != x_blk(bj)).astype(jnp.float32)
+            err = err + jnp.sum(neq * mask_blk(bj), axis=0, keepdims=True)
+
+        err_ref[:] = err
+        ok_ref[:] = done_f
+        conv_ref[:] = conv
+        norm_ref[:] = norm
+        iters_ref[:] = jnp.full((1, TB), it, jnp.int32)
+
+    grid_kernel = functools.partial(pl.pallas_call, kernel, interpret=interpret)
+    mask_const = jnp.asarray(info_mask)
+
+    def mc_step(wT: jax.Array, consts_vec: jax.Array, seeds: jax.Array,
+                raw: jax.Array | None = None):
+        B = wT.shape[1]
+        Bp = -(-B // tile_b) * tile_b
+        w = wT.astype(jnp.float32)
+        if Bp != B:
+            w = jnp.pad(w, ((0, 0), (0, Bp - B)))
+        grid = (Bp // tile_b,)
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # consts [8]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seeds [2]
+            pl.BlockSpec((n, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        args = [consts_vec.astype(jnp.float32), seeds.astype(jnp.int32),
+                w, mask_const]
+        if not hw:
+            if raw is None:
+                raise ValueError("noise_source='input' needs the raw words")
+            rawp = raw
+            if Bp != B:
+                rawp = jnp.pad(raw, ((0, 0), (0, 0), (0, Bp - B)))
+            in_specs.append(
+                pl.BlockSpec((draws, n, tile_b), lambda b: (0, 0, b),
+                             memory_space=pltpu.VMEM)
+            )
+            args.append(rawp)
+
+        out_row = lambda dt: jax.ShapeDtypeStruct((1, Bp), dt)
+        err, ok_f, conv, norm, iters = grid_kernel(
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, tile_b), lambda b: (0, b),
+                             memory_space=pltpu.VMEM)
+                for _ in range(5)
+            ],
+            out_shape=[
+                out_row(jnp.float32),
+                out_row(jnp.float32),
+                out_row(jnp.int32),
+                out_row(jnp.float32),
+                out_row(jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((mb, dcb, Z, tile_b), jnp.float32),  # E
+                pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # L
+                pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # prior
+                pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # llr
+            ],
+        )(*args)
+
+        return (
+            err[0, :B].astype(jnp.int32),
+            ok_f[0, :B] > 0,
+            conv[0, :B],
+            norm[0, :B],
+            iters[0, :B],
+        )
+
+    return mc_step
+
+
+def mc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
+                  tile_b: int = 128, noise_source: str = "hw",
+                  mode: int = 1) -> int:
+    """Resident VMEM of the fused MC kernel (scratch + blocks) per grid step."""
+    lanes = max(tile_b, 128)
+    row_slots = qc.row_slots()
+    dcb = max((len(r) for r in row_slots), default=1)
+    scratch = 4 * lanes * qc.Z * (qc.mb * dcb + 3 * qc.nb)  # E, L, prior, llr
+    io = 4 * lanes * qc.n  # w block
+    if noise_source == "input":
+        io += 4 * lanes * qc.n * DRAWS_PER_BIT[mode]
+    mask = 4 * 128 * qc.n
+    return scratch + io + mask
+
+
+def mc_kernel_fits(qc: QCLayout, schedule: str = "flooding",
+                   tile_b: int = 128, noise_source: str = "hw",
+                   mode: int = 1) -> bool:
+    return mc_vmem_bytes(qc, schedule, tile_b, noise_source, mode) <= VMEM_BUDGET
+
+
+def channel_llr_reference(
+    wT: jax.Array, raw: jax.Array, consts, mode: int, modulation: int
+) -> jax.Array:
+    """Independent jnp replay of the kernel's bits->LLR transform.
+
+    Given the same raw uint32 draw stream, produces EXACTLY the LLRs (in the
+    channel's sign convention, before the kernel's negation) that
+    ``noise_source='input'`` computes -- the hook for bit-identity tests of
+    the fused kernel against the unfused decoders.
+    """
+    amp = 1.0 if modulation == 1 else 0.7
+    sym = (2.0 * wT.astype(jnp.float32) - 1.0) * amp
+    if mode == 1:
+        noise = consts.noise1_std * box_muller(raw[0], raw[1])
+        return consts.llr_scale * (sym + noise)
+    if mode == 2:
+        n1 = consts.sigma1 * box_muller(raw[0], raw[1])
+        n2 = consts.sigma2 * box_muller(raw[2], raw[3])
+        jam = _uniform01(raw[4]) < consts.p
+        return jnp.where(jam, (sym + n1 + n2) * consts.l_c2,
+                         (sym + n1) * consts.l_c1)
+    n1 = consts.sigma1 * box_muller(raw[0], raw[1])
+    n2 = consts.sigma2 * box_muller(raw[2], raw[3])
+    return ((sym + n1 + n2) * consts.p + (sym + n1) * (1.0 - consts.p)) \
+        * consts.l_c3

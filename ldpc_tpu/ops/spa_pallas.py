@@ -7,10 +7,14 @@ Design (TPU-first, no gathers):
   general gather, but static rolls lower to sublane shifts -- so the whole
   flooding iteration becomes elementwise VPU math.
 * Layout: codewords are the LANE dimension (tile of ``tile_b`` lanes), the
-  lift dimension Z is the sublane dimension. Messages live in VMEM scratch
-  ``M/E[mb, dc_b, Z, tile_b]`` for the entire decode: per iteration the only
+  lift dimension Z is the sublane dimension. Extrinsics live in VMEM scratch
+  ``E[mb, dc_b, Z, tile_b]`` for the entire decode: per iteration the only
   HBM traffic is zero -- channel LLRs are read once per tile and hard
   decisions written once.
+* Var->check messages are never stored: both schedules recompute them as
+  ``roll(L) - E`` (the variable-node update in exact float arithmetic), so
+  the flooding schedule needs no M scratch -- that halves resident VMEM and
+  lets every QC code in the database fit a 128-lane tile (qc_vmem_bytes).
 * The grid runs over batch tiles; each tile iterates its own
   ``lax.while_loop`` with per-codeword convergence masks and exits as soon as
   all of ITS codewords pass the syndrome check -- finer-grained early
@@ -19,6 +23,13 @@ Design (TPU-first, no gathers):
   for 'spa', min+sign for the min-sum family) with exactly the same clipping
   constants as the XLA reference decoder (ldpc_tpu.ops.spa), so the two
   decoders agree bit-for-bit in float32.
+* Layers with multi-diagonal blocks (a base row touching one base column at
+  two shifts, e.g. CCSDS '0+7') use the ADDITIVE posterior form
+  ``L += roll(E_new - E_old)`` so both circulants' extrinsic deltas
+  accumulate; single-diagonal layers keep the overwrite form (the two are
+  algebraically identical there, and overwrite preserves round-1 bit
+  patterns). The reference has no layered schedule at all
+  (spa_decoder.py:63 implements flooding only).
 
 The kernel implements the 'exact' check-node rule (input LLRs are negated
 into the log(p0/p1) domain outside); the 'legacy' reference-parity rule stays
@@ -56,6 +67,206 @@ def _roll0(x: jax.Array, s: int, Z: int) -> jax.Array:
 _exclusive_combine = exclusive_combine
 
 
+def make_check_update(variant: str, alpha: float, beta: float):
+    """Leave-one-out check update over a static list of [Z, TB] arrays.
+
+    Shared by the standalone decode kernel and the fused Monte-Carlo kernel
+    (ldpc_tpu.ops.mc_pallas); float reductions associate in the same order as
+    the XLA/jnp decoders (exclusive_combine), the precondition for the
+    bit-identity asserted in tests/test_pallas.py."""
+
+    def check_update(msgs):
+        if variant == "spa":
+            ts = [
+                jnp.clip(
+                    jnp.tanh(jnp.clip(m * 0.5, -TANH_IN_CLIP, TANH_IN_CLIP)),
+                    -PROD_CLIP_F32,
+                    PROD_CLIP_F32,
+                )
+                for m in msgs
+            ]
+            excl = _exclusive_combine(ts, lambda a, b: a * b)
+
+            def atanh2(p):
+                if p is None:
+                    p = jnp.ones_like(msgs[0])
+                p = jnp.clip(p, -PROD_CLIP_F32, PROD_CLIP_F32)
+                return jnp.log((1.0 + p) / (1.0 - p))  # 2*atanh, Mosaic-safe
+
+            return [atanh2(p) for p in excl]
+        # min-sum family
+        sgns = [jnp.where(m < 0, -1.0, 1.0).astype(jnp.float32) for m in msgs]
+        mags = [jnp.abs(m) for m in msgs]
+        excl_sgn = _exclusive_combine(sgns, lambda a, b: a * b)
+        excl_mag = _exclusive_combine(mags, jnp.minimum)
+        out = []
+        for sg, mg in zip(excl_sgn, excl_mag):
+            sg = jnp.ones_like(msgs[0]) if sg is None else sg
+            mg = jnp.full_like(msgs[0], 1e30) if mg is None else mg
+            if variant == "normalized_minsum":
+                mg = alpha * mg
+            elif variant == "offset_minsum":
+                mg = jnp.maximum(mg - beta, 0.0)
+            out.append(sg * mg)
+        return out
+
+    return check_update
+
+
+def make_decode_loop(
+    qc: QCLayout,
+    max_iterations: int,
+    variant: str,
+    *,
+    alpha: float = 0.75,
+    beta: float = 0.15,
+    tile_b: int = 128,
+    schedule: str = "flooding",
+    k: int = 1,
+):
+    """Build the in-kernel decode loop shared by the standalone decoder and
+    the fused Monte-Carlo kernel.
+
+    Returns ``run(llr_blk, mask_blk, E_ref, L_ref, prior_ref)`` where
+    ``llr_blk(j) -> [Z, TB]`` reads base column j of the channel LLRs (in the
+    log(p0/p1) domain) and ``mask_blk(j) -> [Z, 1]`` reads the info-bit mask.
+    On return, ``L_ref[j]`` holds the final posteriors (frozen at each lane's
+    convergence) and the result is ``(done_f, conv, norm, it)`` with shapes
+    f32/int32/f32 [1, TB] and a scalar iteration count.
+    """
+    Z, nb, mb = qc.Z, qc.nb, qc.mb
+    row_slots = qc.row_slots()
+    col_slots = qc.col_slots()
+    check_update = make_check_update(variant, alpha, beta)
+    TB = tile_b
+
+    def syndrome(L_of):
+        """any_unsat [1, TB] from posterior signs (exact rule: bit = L < 0)."""
+        any_unsat = jnp.zeros((1, TB), jnp.bool_)
+        for bi in range(mb):
+            parity = None
+            for bj, s in row_slots[bi]:
+                bit = _roll0(L_of(bj), s, Z) < 0
+                parity = bit if parity is None else parity ^ bit
+            if parity is None:
+                continue  # empty base row: trivially satisfied
+            any_unsat = any_unsat | jnp.any(parity, axis=0, keepdims=True)
+        return any_unsat
+
+    def norm_and_freeze(L_ref, prior_ref, mask_blk, active, ok_now, carry):
+        """Normalized-LLR bookkeeping + convergence accounting (shared tail).
+
+        L is frozen for converged lanes by construction (their E stopped
+        updating), so est needs no in-loop copy -- callers read it from L
+        after the loop."""
+        it, done_f, conv, norm = carry
+        flips = jnp.zeros((1, TB), jnp.float32)
+        for bj in range(nb):
+            L = L_ref[bj]
+            f = (jnp.abs(L) <= LLR_WINDOW) & (prior_ref[bj] * L < 0)
+            flips = flips + jnp.sum(
+                f.astype(jnp.float32) * mask_blk(bj), axis=0, keepdims=True
+            )
+            prior_ref[bj] = L  # frozen lanes: L unchanged, so prior unchanged
+        norm = jnp.where(active, flips / max(k, 1), norm)
+        conv = jnp.where(active & ok_now, it, conv)
+        done_f = jnp.maximum(done_f, ok_now.astype(jnp.float32))
+        return (it + 1, done_f, conv, norm)
+
+    def body_flooding(llr_blk, mask_blk, E_ref, L_ref, prior_ref, carry):
+        it, done_f, conv, norm = carry
+        active = done_f < 0.5  # bool [1, TB], True while undecoded
+
+        # ---- check-node update: messages recomputed as roll(L) - E ----
+        for bi in range(mb):
+            slots = row_slots[bi]
+            msgs = [
+                _roll0(L_ref[bj], s, Z) - E_ref[bi, slot]
+                for slot, (bj, s) in enumerate(slots)
+            ]
+            for slot, e in enumerate(check_update(msgs)):
+                E_ref[bi, slot] = jnp.where(active, e, E_ref[bi, slot])
+
+        # ---- posterior per base column ----
+        for bj in range(nb):
+            acc = llr_blk(bj)
+            for bi, slot, s in col_slots[bj]:
+                acc = acc + _roll0(E_ref[bi, slot], -s, Z)
+            L_ref[bj] = acc
+
+        ok_now = ~syndrome(lambda bj: L_ref[bj])
+        return norm_and_freeze(
+            L_ref, prior_ref, mask_blk, active, ok_now,
+            (it, done_f, conv, norm),
+        )
+
+    def body_layered(llr_blk, mask_blk, E_ref, L_ref, prior_ref, carry):
+        it, done_f, conv, norm = carry
+        active = done_f < 0.5
+
+        # ---- one serial sweep over base-row layers ----
+        for bi in range(mb):
+            slots = row_slots[bi]
+            msgs = [
+                _roll0(L_ref[bj], s, Z) - E_ref[bi, slot]
+                for slot, (bj, s) in enumerate(slots)
+            ]
+            e_new = check_update(msgs)
+            dup = len({bj for bj, _ in slots}) < len(slots)
+            if dup:
+                # multi-diagonal layer: both circulants of a doubled block
+                # feed the same base column -- accumulate extrinsic deltas
+                deltas: dict[int, jax.Array] = {}
+                for slot, (bj, s) in enumerate(slots):
+                    d = _roll0(e_new[slot] - E_ref[bi, slot], -s, Z)
+                    deltas[bj] = d if bj not in deltas else deltas[bj] + d
+                for bj, d in deltas.items():
+                    L_ref[bj] = jnp.where(active, L_ref[bj] + d, L_ref[bj])
+            else:
+                for slot, (bj, s) in enumerate(slots):
+                    l_new = _roll0(msgs[slot] + e_new[slot], -s, Z)
+                    L_ref[bj] = jnp.where(active, l_new, L_ref[bj])
+            for slot in range(len(slots)):
+                E_ref[bi, slot] = jnp.where(active, e_new[slot],
+                                            E_ref[bi, slot])
+
+        ok_now = ~syndrome(lambda bj: L_ref[bj])
+        return norm_and_freeze(
+            L_ref, prior_ref, mask_blk, active, ok_now,
+            (it, done_f, conv, norm),
+        )
+
+    body_fn = body_flooding if schedule == "flooding" else body_layered
+
+    def run(llr_blk, mask_blk, E_ref, L_ref, prior_ref):
+        # init: posterior = channel LLRs, extrinsics = 0
+        for bj in range(nb):
+            L_ref[bj] = llr_blk(bj)
+            prior_ref[bj] = llr_blk(bj)
+        for bi in range(mb):
+            for slot in range(len(row_slots[bi])):
+                E_ref[bi, slot] = jnp.zeros((Z, TB), jnp.float32)
+
+        def body(carry):
+            # carries are f32/int32 vectors: Mosaic's while-loop layout
+            # inference rejects i1 vector carries
+            return body_fn(llr_blk, mask_blk, E_ref, L_ref, prior_ref, carry)
+
+        def cond(carry):
+            it, done_f, _, _ = carry
+            return (it < max_iterations) & (jnp.min(done_f) < 0.5)
+
+        init = (
+            jnp.int32(0),
+            jnp.zeros((1, TB), jnp.float32),
+            jnp.full((1, TB), -1, jnp.int32),
+            jnp.zeros((1, TB), jnp.float32),
+        )
+        return jax.lax.while_loop(cond, body, init)
+
+    return run
+
+
 def make_qc_decoder(
     qc: QCLayout,
     info_pos: np.ndarray,
@@ -77,235 +288,50 @@ def make_qc_decoder(
     ``schedule``: 'flooding' (all check nodes in parallel, matches the
     reference's schedule) or 'layered' (serial-C: one sweep over base rows
     with in-place posterior updates -- ~2x fewer iterations to a given FER;
-    bit-identical to ldpc_tpu.ops.layered's jnp implementation).
+    bit-identical to ldpc_tpu.ops.layered's jnp implementation). Layered
+    supports multi-diagonal codes (e.g. CCSDS) via additive in-layer updates.
     """
     variant = variant.lower().replace("-", "_")
     if variant not in ("spa", "minsum", "normalized_minsum", "offset_minsum"):
         raise ValueError(f"QC kernel does not support variant {variant!r}")
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"Unknown schedule: {schedule!r}")
-    if schedule == "layered" and not qc.single_diagonal:
-        raise ValueError(
-            "layered schedule needs single-diagonal circulant blocks; this "
-            "code has multi-diagonal blocks (base rows are not conflict-free)"
-        )
 
     n, Z, nb, mb = qc.n, qc.Z, qc.nb, qc.mb
-    row_slots = qc.row_slots()  # per base row: [(bj, shift)]
-    col_slots = qc.col_slots()  # per base col: [(bi, slot, shift)]
+    row_slots = qc.row_slots()
     k = int(np.asarray(info_pos).shape[0])
     dcb = max((len(r) for r in row_slots), default=1)
 
     info_mask = np.zeros((n, 1), dtype=np.float32)
     info_mask[np.asarray(info_pos, dtype=np.int64), 0] = 1.0
 
-    def check_update(msgs):
-        """msgs: static list of [Z, TB] arrays -> extrinsic list (same shapes)."""
-        if variant == "spa":
-            ts = [
-                jnp.clip(
-                    jnp.tanh(jnp.clip(m * 0.5, -TANH_IN_CLIP, TANH_IN_CLIP)),
-                    -PROD_CLIP_F32,
-                    PROD_CLIP_F32,
-                )
-                for m in msgs
-            ]
-            excl = _exclusive_combine(ts, lambda a, b: a * b)
-
-            def fix(p):
-                return jnp.ones_like(msgs[0]) if p is None else p
-
-            def atanh2(p):
-                p = jnp.clip(p, -PROD_CLIP_F32, PROD_CLIP_F32)
-                return jnp.log((1.0 + p) / (1.0 - p))  # 2*atanh, Mosaic-safe
-
-            return [atanh2(fix(p)) for p in excl]
-        # min-sum family
-        sgns = [jnp.where(m < 0, -1.0, 1.0).astype(jnp.float32) for m in msgs]
-        mags = [jnp.abs(m) for m in msgs]
-        excl_sgn = _exclusive_combine(sgns, lambda a, b: a * b)
-        excl_mag = _exclusive_combine(mags, jnp.minimum)
-        out = []
-        for sg, mg in zip(excl_sgn, excl_mag):
-            sg = jnp.ones_like(msgs[0]) if sg is None else sg
-            mg = jnp.full_like(msgs[0], 1e30) if mg is None else mg
-            if variant == "normalized_minsum":
-                mg = alpha * mg
-            elif variant == "offset_minsum":
-                mg = jnp.maximum(mg - beta, 0.0)
-            out.append(sg * mg)
-        return out
-
-    def kernel(llr_ref, mask_ref, est_ref, ok_ref, conv_ref, norm_ref, iters_ref,
-               M_ref, E_ref, L_ref, prior_ref):
-        TB = tile_b
-
-        def llr_blk(j):
-            return llr_ref[pl.ds(j * Z, Z), :]
-
-        # init: M[i, slot] = llr at the connected variable (spa_decoder.py:88)
-        for bi in range(mb):
-            for slot, (bj, s) in enumerate(row_slots[bi]):
-                M_ref[bi, slot] = _roll0(llr_blk(bj), s, Z)
-        for bj in range(nb):
-            prior_ref[bj] = llr_blk(bj)
-
-        def body(carry):
-            # carries are f32/int32 vectors: Mosaic's while-loop layout
-            # inference rejects i1 vector carries
-            it, done_f, conv, norm = carry
-            active = done_f < 0.5  # bool [1, TB], True while undecoded
-
-            # ---- check-node update ----
-            for bi in range(mb):
-                msgs = [M_ref[bi, slot] for slot in range(len(row_slots[bi]))]
-                for slot, e in enumerate(check_update(msgs)):
-                    E_ref[bi, slot] = e
-
-            # ---- posterior per base column ----
-            for bj in range(nb):
-                acc = llr_blk(bj)
-                for bi, slot, s in col_slots[bj]:
-                    acc = acc + _roll0(E_ref[bi, slot], -s, Z)
-                L_ref[bj] = acc
-
-            # ---- syndrome + variable-node update (shared rolls) ----
-            any_unsat = jnp.zeros((1, TB), jnp.bool_)
-            for bi in range(mb):
-                parity = None
-                for slot, (bj, s) in enumerate(row_slots[bi]):
-                    l_edge = _roll0(L_ref[bj], s, Z)
-                    bit = l_edge < 0  # exact rule: bit 1 <=> log(p0/p1) < 0
-                    parity = bit if parity is None else parity ^ bit
-                    M_ref[bi, slot] = jnp.where(active, l_edge - E_ref[bi, slot],
-                                                M_ref[bi, slot])
-                if parity is None:
-                    continue  # empty base row: trivially satisfied
-                any_unsat = any_unsat | jnp.any(parity, axis=0, keepdims=True)
-            ok_now = ~any_unsat  # [1, TB]
-
-            # ---- outputs, frozen once a codeword converges ----
-            flips = jnp.zeros((1, TB), jnp.float32)
-            for bj in range(nb):
-                L = L_ref[bj]
-                est_ref[pl.ds(bj * Z, Z), :] = jnp.where(
-                    active, (L < 0).astype(jnp.float32),
-                    est_ref[pl.ds(bj * Z, Z), :],
-                )
-                mask = mask_ref[pl.ds(bj * Z, Z), :]  # [Z, 1]
-                f = (jnp.abs(L) <= LLR_WINDOW) & (prior_ref[bj] * L < 0)
-                flips = flips + jnp.sum(
-                    f.astype(jnp.float32) * mask, axis=0, keepdims=True
-                )
-                prior_ref[bj] = jnp.where(active, L, prior_ref[bj])
-
-            norm = jnp.where(active, flips / max(k, 1), norm)
-            conv = jnp.where(active & ok_now, it, conv)
-            done_f = jnp.maximum(done_f, ok_now.astype(jnp.float32))
-            return (it + 1, done_f, conv, norm)
-
-        def cond(carry):
-            it, done_f, _, _ = carry
-            return (it < max_iterations) & (jnp.min(done_f) < 0.5)
-
-        init = (
-            jnp.int32(0),
-            jnp.zeros((1, TB), jnp.float32),
-            jnp.full((1, TB), -1, jnp.int32),
-            jnp.zeros((1, TB), jnp.float32),
-        )
-        it, done_f, conv, norm = jax.lax.while_loop(cond, body, init)
-        ok_ref[:] = done_f
-        conv_ref[:] = conv
-        norm_ref[:] = norm
-        iters_ref[:] = jnp.full((1, TB), it, jnp.int32)
-
-    def kernel_layered(llr_ref, mask_ref, est_ref, ok_ref, conv_ref, norm_ref,
-                       iters_ref, E_ref, L_ref, prior_ref):
-        TB = tile_b
-
-        def llr_blk(j):
-            return llr_ref[pl.ds(j * Z, Z), :]
-
-        # init: posterior = channel LLRs, extrinsics = 0
-        for bj in range(nb):
-            L_ref[bj] = llr_blk(bj)
-            prior_ref[bj] = llr_blk(bj)
-        for bi in range(mb):
-            for slot in range(len(row_slots[bi])):
-                E_ref[bi, slot] = jnp.zeros((Z, TB), jnp.float32)
-
-        def body(carry):
-            it, done_f, conv, norm = carry
-            active = done_f < 0.5
-
-            # ---- one serial sweep over base-row layers ----
-            for bi in range(mb):
-                slots = row_slots[bi]
-                msgs = [
-                    _roll0(L_ref[bj], s, Z) - E_ref[bi, slot]
-                    for slot, (bj, s) in enumerate(slots)
-                ]
-                e_new = check_update(msgs)
-                for slot, (bj, s) in enumerate(slots):
-                    l_new = _roll0(msgs[slot] + e_new[slot], -s, Z)
-                    L_ref[bj] = jnp.where(active, l_new, L_ref[bj])
-                    E_ref[bi, slot] = jnp.where(active, e_new[slot],
-                                                E_ref[bi, slot])
-
-            # ---- post-sweep syndrome ----
-            any_unsat = jnp.zeros((1, TB), jnp.bool_)
-            for bi in range(mb):
-                parity = None
-                for bj, s in row_slots[bi]:
-                    bit = _roll0(L_ref[bj], s, Z) < 0
-                    parity = bit if parity is None else parity ^ bit
-                if parity is None:
-                    continue  # empty base row: trivially satisfied
-                any_unsat = any_unsat | jnp.any(parity, axis=0, keepdims=True)
-            ok_now = ~any_unsat
-
-            # ---- outputs, frozen once a codeword converges ----
-            flips = jnp.zeros((1, TB), jnp.float32)
-            for bj in range(nb):
-                L = L_ref[bj]
-                est_ref[pl.ds(bj * Z, Z), :] = jnp.where(
-                    active, (L < 0).astype(jnp.float32),
-                    est_ref[pl.ds(bj * Z, Z), :],
-                )
-                mask = mask_ref[pl.ds(bj * Z, Z), :]
-                f = (jnp.abs(L) <= LLR_WINDOW) & (prior_ref[bj] * L < 0)
-                flips = flips + jnp.sum(
-                    f.astype(jnp.float32) * mask, axis=0, keepdims=True
-                )
-                prior_ref[bj] = jnp.where(active, L, prior_ref[bj])
-
-            norm = jnp.where(active, flips / max(k, 1), norm)
-            conv = jnp.where(active & ok_now, it, conv)
-            done_f = jnp.maximum(done_f, ok_now.astype(jnp.float32))
-            return (it + 1, done_f, conv, norm)
-
-        def cond(carry):
-            it, done_f, _, _ = carry
-            return (it < max_iterations) & (jnp.min(done_f) < 0.5)
-
-        init = (
-            jnp.int32(0),
-            jnp.zeros((1, TB), jnp.float32),
-            jnp.full((1, TB), -1, jnp.int32),
-            jnp.zeros((1, TB), jnp.float32),
-        )
-        it, done_f, conv, norm = jax.lax.while_loop(cond, body, init)
-        ok_ref[:] = done_f
-        conv_ref[:] = conv
-        norm_ref[:] = norm
-        iters_ref[:] = jnp.full((1, TB), it, jnp.int32)
-
-    grid_kernel = functools.partial(
-        pl.pallas_call,
-        kernel if schedule == "flooding" else kernel_layered,
-        interpret=interpret,
+    loop = make_decode_loop(
+        qc, max_iterations, variant, alpha=alpha, beta=beta,
+        tile_b=tile_b, schedule=schedule, k=k,
     )
+
+    def kernel(llr_ref, mask_ref, est_ref, ok_ref, conv_ref, norm_ref,
+               iters_ref, E_ref, L_ref, prior_ref):
+        TB = tile_b
+
+        def llr_blk(j):
+            return llr_ref[pl.ds(j * Z, Z), :]
+
+        def mask_blk(j):
+            return mask_ref[pl.ds(j * Z, Z), :]
+
+        it, done_f, conv, norm = loop(llr_blk, mask_blk, E_ref, L_ref,
+                                      prior_ref)
+        # hard decisions from the final posteriors (frozen per lane at its
+        # converging iteration -- see make_decode_loop)
+        for bj in range(nb):
+            est_ref[pl.ds(bj * Z, Z), :] = (L_ref[bj] < 0).astype(jnp.float32)
+        ok_ref[:] = done_f
+        conv_ref[:] = conv
+        norm_ref[:] = norm
+        iters_ref[:] = jnp.full((1, TB), it, jnp.int32)
+
+    grid_kernel = functools.partial(pl.pallas_call, kernel, interpret=interpret)
 
     mask_const = jnp.asarray(info_mask)
 
@@ -338,12 +364,7 @@ def make_qc_decoder(
                 jax.ShapeDtypeStruct((1, Bp), jnp.float32),
                 jax.ShapeDtypeStruct((1, Bp), jnp.int32),
             ],
-            scratch_shapes=(
-                # flooding keeps var->check messages M; layered recomputes
-                # them in place from L - E and needs no M scratch
-                [pltpu.VMEM((mb, dcb, Z, tile_b), jnp.float32)]
-                if schedule == "flooding" else []
-            ) + [
+            scratch_shapes=[
                 pltpu.VMEM((mb, dcb, Z, tile_b), jnp.float32),  # E
                 pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # L
                 pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # prior
@@ -362,18 +383,44 @@ def make_qc_decoder(
     return decode
 
 
-def pick_tile_b(qc: QCLayout, vmem_budget: int = 12 << 20,
-                schedule: str = "flooding") -> int:
-    """Largest power-of-two lane tile whose scratch fits the VMEM budget."""
+# VMEM the Mosaic compiler can scope per kernel invocation (v4/v5 chips have
+# 16 MB less compiler-reserved space; stay comfortably inside)
+VMEM_BUDGET = 14 << 20
+
+
+def qc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
+                  tile_b: int = 128, extra_blocks: int = 0) -> int:
+    """Resident VMEM of the decode kernel for one grid step.
+
+    Counts scratch (E + L + prior) plus the I/O blocks (llr, est, info mask;
+    ``extra_blocks`` more [n, lanes] f32 blocks for callers that add inputs,
+    e.g. the fused Monte-Carlo kernel's packed-codeword input). The lane
+    dimension is padded to the 128-wide vector registers, so tiles below 128
+    lanes do NOT reduce the footprint -- tile_b is clamped up for accounting.
+    """
+    lanes = max(tile_b, 128)
     row_slots = qc.row_slots()
     dcb = max((len(r) for r in row_slots), default=1)
-    n_msg = 2 if schedule == "flooding" else 1  # layered drops the M scratch
-    per_lane = 4 * (n_msg * qc.mb * dcb * qc.Z + 2 * qc.nb * qc.Z + 2 * qc.n)
-    # measured on v5e (wimax 1152, layered-12): tile 128 runs ~5% faster
-    # than 256 (1.34M vs 1.27M cw/s) and gives finer early-exit granularity;
-    # 512 exceeds the 16MB scoped-vmem limit. The budget loop remains for
-    # codes small enough that several tiles fit trivially.
-    tb = 128
-    while tb > 128 and tb * per_lane > vmem_budget:
-        tb //= 2
-    return tb
+    scratch = 4 * lanes * (qc.mb * dcb * qc.Z + 2 * qc.nb * qc.Z)
+    io = 4 * lanes * qc.n * (2 + extra_blocks)  # llr in + est out (+ extras)
+    mask = 4 * 128 * qc.n  # [n, 1] block still occupies one full lane group
+    return scratch + io + mask
+
+
+def qc_kernel_fits(qc: QCLayout, schedule: str = "flooding",
+                   tile_b: int = 128, extra_blocks: int = 0) -> bool:
+    return qc_vmem_bytes(qc, schedule, tile_b, extra_blocks) <= VMEM_BUDGET
+
+
+def pick_tile_b(qc: QCLayout, vmem_budget: int = VMEM_BUDGET,
+                schedule: str = "flooding") -> int:
+    """Lane tile for the QC kernel: always 128.
+
+    Lanes pad to the 128-wide vregs, so smaller tiles save nothing; larger
+    tiles measured slower on v5e (wimax 1152, layered-12: 128 runs ~5% faster
+    than 256) and coarsen per-tile early exit. Codes whose scratch exceeds
+    the VMEM budget at 128 lanes cannot shrink their way in -- callers must
+    check :func:`qc_kernel_fits` and fall back to the XLA decoder
+    (ldpc_tpu.sim.runner._select_decoder does).
+    """
+    return 128

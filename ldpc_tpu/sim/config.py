@@ -87,6 +87,13 @@ class SimOptions:
     noise_model: str | None = None  # 'legacy' | 'exact' (None -> from fidelity)
     batch: int = 0  # device batch of codewords; 0 -> auto
     kernel: str = "auto"  # 'auto' | 'pallas' (QC roll kernel) | 'xla' (gather decoder)
+    # fully-fused Monte-Carlo step (ldpc_tpu.ops.mc_pallas): channel noise,
+    # LLRs, decode and counters in ONE Pallas kernel (in-kernel PRNG on TPU).
+    # 'auto': on TPU whenever eligible (QC code, exact rule, orig graph,
+    # SPA/min-sum variant, no interleaver, BPSK/QPSK, no shorten/puncture,
+    # no mesh); 'on': force (CPU uses the injected-noise variant in interpret
+    # mode -- slow, for tests); 'off': always use the unfused pipeline.
+    fused: str = "auto"
     schedule: str = "flooding"  # 'flooding' (reference schedule) | 'layered' (QC serial-C)
     seed: int = 0
     exact_ber: bool = False  # also count undetected-error bits (not just failed frames)

@@ -83,6 +83,7 @@ class SimulationConfig:
     s_param: int = 2
     exact_ber: bool = False
     adaptive: bool = False
+    fused: str = "auto"
 
 
 @dataclass

@@ -29,7 +29,12 @@ from ldpc_tpu.models.code import LDPCCode
 from ldpc_tpu.ops.channel import ChannelConsts, ChannelParams, make_channel_fn
 from ldpc_tpu.ops.encode import make_encoder, random_info_bits
 from ldpc_tpu.ops.interleave import make_interleaver
-from ldpc_tpu.ops.metrics import BlockCounters, block_stats, reduce_block_stats
+from ldpc_tpu.ops.metrics import (
+    BlockCounters,
+    BlockStats,
+    block_stats,
+    reduce_block_stats,
+)
 from ldpc_tpu.ops.spa import make_decoder
 from ldpc_tpu.sim.config import SimOptions
 from ldpc_tpu.sim.results import SimulationConfig, SimulationResult, SNRPointResult
@@ -82,14 +87,24 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
         raise ValueError(
             "schedule='layered' requires a quasi-cyclic code, "
             "check_rule='exact', decode_graph='orig' and an SPA/min-sum "
-            "variant (base rows are the conflict-free layers)"
+            "variant (base rows are the layers)"
         )
-    if schedule == "layered" and not code.qc.single_diagonal:
-        raise ValueError(
-            "schedule='layered' requires single-diagonal circulant blocks: "
-            f"{code.name} has multi-diagonal blocks (e.g. CCSDS '0+7'), so "
-            "base rows are not conflict-free layers; use the flooding schedule"
-        )
+    if use_pallas:
+        from ldpc_tpu.ops.spa_pallas import qc_kernel_fits
+
+        if not qc_kernel_fits(code.qc, schedule):
+            if want == "pallas":
+                raise ValueError(
+                    f"kernel='pallas': {code.name} needs more VMEM than one "
+                    "core offers for the QC decode kernel (see "
+                    "spa_pallas.qc_vmem_bytes); use kernel='auto' or 'xla'"
+                )
+            if not opts.quiet:
+                print(
+                    f"QC kernel scratch for {code.name} exceeds the VMEM "
+                    "budget; using the XLA decoder"
+                )
+            use_pallas = False
 
     def build(iters):
         if use_pallas:
@@ -249,17 +264,43 @@ class PointExecutor:
         _llr_punct = jnp.asarray(llr_punct)
         KNOWN_LLR = 60.0  # |LLR| of a known bit; channel convention: 0 -> negative
 
-        encode = make_encoder(spec, self.graph)
-        interleave, deinterleave = make_interleaver(
-            il_kind, code.n, s_param=opts.s_param, seed=opts.seed
-        )
-        channel = make_channel_fn(opts.mode, self.modulation, n=code.n)
-        decode, self.kernel_used, decode_plain = _select_decoder(
-            code, opts, layout, info_pos, self.max_iterations, batch=self.batch
-        )
         k = code.k
         batch = self.batch
         exact_ber = opts.exact_ber
+
+        # ---- fully-fused Monte-Carlo step eligibility (ops.mc_pallas) ----
+        on_tpu = jax.default_backend() == "tpu"
+        schedule = opts.schedule or "flooding"
+        noise_source = "hw" if on_tpu else "input"
+        fused_eligible = (
+            opts.fused != "off"
+            and code.qc is not None
+            and opts.check_rule == "exact"
+            and self.graph in ("orig", "original")
+            and opts.decoder_variant in _PALLAS_VARIANTS
+            and il_kind == "none"
+            and self.modulation in (1, 2)
+            and opts.mode in (1, 2, 3)
+            and S == 0
+            and P == 0
+            and mesh is None
+        )
+        if fused_eligible:
+            from ldpc_tpu.ops.mc_pallas import mc_kernel_fits
+
+            fused_eligible = mc_kernel_fits(
+                code.qc, schedule, noise_source=noise_source, mode=opts.mode
+            )
+        if opts.fused == "on" and not fused_eligible:
+            raise ValueError(
+                "fused='on' requires a QC code, check_rule='exact', "
+                "decode_graph='orig', an SPA/min-sum variant, no interleaver, "
+                "modulation 1/2, no shorten/puncture, no mesh, and the kernel "
+                "fitting VMEM"
+            )
+        use_fused = opts.fused == "on" or (
+            opts.fused == "auto" and fused_eligible and on_tpu
+        )
 
         if mesh is not None and batch_axes:
             sharding = jax.sharding.NamedSharding(
@@ -269,6 +310,121 @@ class PointExecutor:
             sharding = None
 
         k_active = self.k_active
+
+        if use_fused:
+            from ldpc_tpu.ops.encode import make_encoder_T
+            from ldpc_tpu.ops.mc_pallas import (
+                DRAWS_PER_BIT,
+                consts_vector,
+                make_mc_decoder,
+            )
+
+            encode_T = make_encoder_T(spec, self.graph)
+            mc = make_mc_decoder(
+                code.qc,
+                info_pos,
+                self.max_iterations,
+                opts.decoder_variant,
+                mode=opts.mode,
+                modulation=self.modulation,
+                alpha=opts.minsum_alpha,
+                beta=opts.minsum_beta,
+                schedule=schedule,
+                noise_source=noise_source,
+                interpret=not on_tpu,
+            )
+            draws = DRAWS_PER_BIT[opts.mode]
+            n = code.n
+
+            def fused_step(key: jax.Array, consts: ChannelConsts):
+                k_u, k_noise = jax.random.split(key)
+                u = random_info_bits(k_u, batch, k)
+                wT = encode_T(u)
+                cv = consts_vector(consts)
+                if noise_source == "hw":
+                    seeds = jax.lax.bitcast_convert_type(
+                        jax.random.bits(k_noise, (2,), jnp.uint32), jnp.int32
+                    )
+                    err, ok, conv, norm, it_l = mc(wT, cv, seeds)
+                else:
+                    seeds = jnp.zeros((2,), jnp.int32)
+                    raw = jax.random.bits(
+                        k_noise, (draws, n, batch), jnp.uint32
+                    )
+                    err, ok, conv, norm, it_l = mc(wT, cv, seeds, raw)
+                if not exact_ber:
+                    # reference: bits counted only when decode failed
+                    # (main.py:134); in-kernel err counts every frame
+                    err = jnp.where(ok, 0, err)
+                stats = BlockStats(
+                    error_bits=err, ok=ok, conv_iter=conv, norm_llr=norm
+                )
+                return stats, jnp.max(it_l)
+
+            self._step = self._step_plain = jax.jit(fused_step)
+
+            # Chunked dispatch: scan CHUNK_STEPS Monte-Carlo steps inside ONE
+            # jitted program, reducing counters on device -- per-dispatch host
+            # latency (the remote-TPU-tunnel floor) amortizes over the chunk.
+            # Safe here because the fused kernel is opaque to XLA: the
+            # pathological while-loop+reduction compile blowup (see the NOTE
+            # in make_step) does not apply to pallas_call outputs.
+            def fused_chunk(key_point: jax.Array, start_idx: jax.Array,
+                            consts: ChannelConsts, n_steps: int):
+                # keys derived IN-JIT: a host-side fold_in per chunk would
+                # cost one tunnel round-trip each (the very latency the
+                # chunking amortizes)
+                keys = jax.vmap(
+                    lambda j: jax.random.fold_in(key_point, j)
+                )(start_idx + jnp.arange(n_steps))
+
+                def body(tot, key):
+                    stats, it = fused_step(key, consts)
+                    c = reduce_block_stats(
+                        stats, jnp.ones((batch,), bool)
+                    )
+                    return tot + c, it
+
+                tot, its = jax.lax.scan(body, BlockCounters.zeros(), keys)
+                return tot, jnp.sum(its)
+
+            self._chunk = jax.jit(fused_chunk, static_argnums=3)
+            self._two_phase = False
+            self.kernel_used = "pallas+fused" + (
+                "+layered" if schedule == "layered" else ""
+            )
+        else:
+            self._build_unfused(
+                code, opts, layout, info_pos, spec, il_kind, sharding,
+                S, P, _u_mask, _llr_punct, _llr_short, KNOWN_LLR,
+            )
+        self._straggler_fer_gate = opts.straggler_frac / 10.0
+
+        def reduce(stats, valid_count: jax.Array) -> BlockCounters:
+            valid = jnp.arange(batch) < valid_count
+            return reduce_block_stats(stats, valid)
+
+        self._reduce = jax.jit(reduce)
+        self._consts_cache: dict[float, ChannelConsts] = {}
+        self.total_iters_run = 0
+
+    def _build_unfused(
+        self, code, opts, layout, info_pos, spec, il_kind, sharding,
+        S, P, _u_mask, _llr_punct, _llr_short, KNOWN_LLR,
+    ):
+        """Unfused pipeline: XLA encode/channel around the decode kernel."""
+        k = code.k
+        batch = self.batch
+        exact_ber = opts.exact_ber
+        k_active = self.k_active
+        encode = make_encoder(spec, self.graph)
+        interleave, deinterleave = make_interleaver(
+            il_kind, code.n, s_param=opts.s_param, seed=opts.seed
+        )
+        channel = make_channel_fn(opts.mode, self.modulation, n=code.n)
+        decode, self.kernel_used, decode_plain = _select_decoder(
+            code, opts, layout, info_pos, self.max_iterations, batch=self.batch
+        )
 
         def make_step(dec):
             def step(key: jax.Array, consts: ChannelConsts):
@@ -297,10 +453,6 @@ class PointExecutor:
 
             return step
 
-        def reduce(stats, valid_count: jax.Array) -> BlockCounters:
-            valid = jnp.arange(batch) < valid_count
-            return reduce_block_stats(stats, valid)
-
         self._step = jax.jit(make_step(decode))
         # plain full-budget step: used for the first batch of every SNR point
         # (and for the rest of a point whose failure rate would overflow the
@@ -310,34 +462,64 @@ class PointExecutor:
             else self._step
         )
         self._two_phase = decode_plain is not decode
-        # straggler pays off only when phase-2 capacity comfortably covers the
-        # screen survivors; empirically survivors ~= 10x the final FER, so
-        # gate on first-batch FER < frac / 10
-        self._straggler_fer_gate = opts.straggler_frac / 10.0
-        self._reduce = jax.jit(reduce)
-        self.total_iters_run = 0
 
     def run_point(
         self, snr_db: float, blocks: int, base_key: jax.Array, point_index: int
     ) -> PointStats:
         """Stream Monte-Carlo batches for one SNR point."""
         opts = self.opts
-        params = ChannelParams(
-            mode=opts.mode,
-            modulation=self.modulation,
-            speed=opts.speed,
-            snr_db=snr_db,
-            interference_snr_db=opts.interference_snr,
-            p=opts.p,
-            noise_model=opts.noise_model,
-        )
-        consts = params.consts()
+        consts = self._consts_cache.get(snr_db)
+        if consts is None:
+            # one host->device transfer set per SNR point: each scalar costs
+            # a round-trip on remote-TPU links, so cache across revisits
+            consts = ChannelParams(
+                mode=opts.mode,
+                modulation=self.modulation,
+                speed=opts.speed,
+                snr_db=snr_db,
+                interference_snr_db=opts.interference_snr,
+                p=opts.p,
+                noise_model=opts.noise_model,
+            ).consts()
+            self._consts_cache[snr_db] = consts
         key_point = jax.random.fold_in(base_key, point_index)
 
         stats = PointStats()
         remaining = blocks
         batch_idx = 0
         target_errors = self.opts.target_errors
+        # fused path: consume full batches CHUNK at a time in one dispatch
+        # (key folding matches the single-step stream, so chunked and
+        # unchunked runs produce identical counters)
+        chunk_fn = getattr(self, "_chunk", None)
+        # One dispatch covers up to MAX_CHUNK Monte-Carlo batches (an
+        # in-program lax.scan): per-dispatch host/tunnel latency amortizes
+        # over the whole group. With --target-errors the quota check needs a
+        # sync per group, so groups stay small to keep the stop responsive.
+        max_chunk = 8 if target_errors else 64
+        pending = []  # device-side counters: converted AFTER the dispatch
+        # loop so groups pipeline through the (high-latency) device link
+        while (
+            chunk_fn is not None
+            and remaining >= self.batch * 2
+            and not (target_errors and stats.fer_frames >= target_errors)
+        ):
+            n = min(remaining // self.batch, max_chunk)
+            counters, iters = chunk_fn(
+                key_point, jnp.int32(batch_idx), consts, n
+            )
+            if target_errors:
+                stats.add(jax.tree.map(np.asarray, counters))
+                self.total_iters_run += int(iters)
+            else:
+                pending.append((counters, iters))
+            remaining -= self.batch * n
+            batch_idx += n
+        for counters, iters in pending:
+            stats.add(jax.tree.map(np.asarray, counters))
+            self.total_iters_run += int(iters)
+        if target_errors and stats.fer_frames >= target_errors:
+            remaining = 0
         step = self._step_plain  # first batch probes the point's failure rate
         while remaining > 0:
             take = min(remaining, self.batch)
@@ -457,6 +639,7 @@ def make_sim_config(opts: SimOptions, code: LDPCCode) -> SimulationConfig:
         s_param=opts.s_param,
         exact_ber=opts.exact_ber,
         adaptive=opts.adaptive,
+        fused=opts.fused,
     )
 
 
@@ -472,7 +655,7 @@ def sweep_fingerprint(config: SimulationConfig) -> tuple:
         config.interference_snr, config.p, config.fidelity,
         config.decode_graph, config.check_rule, config.noise_model,
         config.seed, config.shorten, config.puncture, config.schedule,
-        config.s_param, config.exact_ber, config.adaptive,
+        config.s_param, config.exact_ber, config.adaptive, config.fused,
     )
 
 
@@ -493,6 +676,62 @@ def load_checkpoint(
         return None
     say(f"Resuming from {opts.checkpoint}: {len(prior.snr_points)} points done")
     return prior
+
+
+def _parallel_ckpt_save(
+    path: str, fp, batch_idx: int, remaining: int, stats_list, total_iters: int
+) -> None:
+    """Atomic mid-sweep checkpoint for the parallel runner: raw per-point
+    counters + stream position. PRNG keys fold by (point, batch) index, so a
+    resumed sweep is BIT-IDENTICAL to an uninterrupted one."""
+    import json
+
+    payload = {
+        "parallel_sweep": 1,
+        "fingerprint": fp,
+        "batch_idx": batch_idx,
+        "remaining": remaining,
+        "total_iters_run": total_iters,
+        "counters": [
+            [s.blocks, s.ok_blocks, s.error_bits, s.fer_frames,
+             s.norm_llr_sum, s.conv_iters_sum, s.conv_count]
+            for s in stats_list
+        ],
+    }
+    import os
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def _parallel_ckpt_load(path: str, fp, n_points: int, say):
+    """Load a parallel-sweep checkpoint; None when absent/foreign."""
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with open(path, "r", encoding="utf-8") as f:
+        d = json.load(f)
+    if not d.get("parallel_sweep"):
+        say(f"Checkpoint {path} is not a parallel-sweep checkpoint; "
+            "starting fresh.")
+        return None
+    if d["fingerprint"] != fp or len(d["counters"]) != n_points:
+        say(f"Checkpoint {path} belongs to a different sweep configuration; "
+            "starting fresh.")
+        return None
+    stats_list = []
+    for row in d["counters"]:
+        s = PointStats()
+        (s.blocks, s.ok_blocks, s.error_bits, s.fer_frames,
+         s.norm_llr_sum, s.conv_iters_sum, s.conv_count) = row
+        stats_list.append(s)
+    say(f"Resuming parallel sweep from {path}: batch {d['batch_idx']}, "
+        f"{d['remaining']} blocks/point remaining")
+    return d["batch_idx"], d["remaining"], d["total_iters_run"], stats_list
 
 
 def _profiled_sweep(profile_dir: str | None):
@@ -607,11 +846,6 @@ def run_simulation_parallel(
     from ldpc_tpu.parallel.mesh import make_mesh, sharded_sweep_step
 
     opts = opts.resolved()
-    if opts.checkpoint or opts.resume:
-        raise ValueError(
-            "checkpoint/resume are not supported by the parallel sweep (all "
-            "SNR points complete together); use the sequential runner"
-        )
     if opts.straggler != "off":
         # the straggler's lax.cond lowers to select (BOTH branches run) once
         # the point step is vmapped over the snr axis -- it would add the
@@ -669,6 +903,18 @@ def run_simulation_parallel(
     stats_list = [PointStats() for _ in range(Sp)]
     remaining = opts.blocks
     batch_idx = 0
+    ckpt_fp = None
+    if opts.checkpoint:
+        import json as _json
+
+        # JSON-normalized so a reloaded fingerprint compares equal
+        ckpt_fp = _json.loads(
+            _json.dumps(sweep_fingerprint(make_sim_config(opts, code)))
+        )
+        if opts.resume:
+            prior = _parallel_ckpt_load(opts.checkpoint, ckpt_fp, Sp, say)
+            if prior is not None:
+                batch_idx, remaining, executor.total_iters_run, stats_list = prior
     with _profiled_sweep(opts.profile):
         while remaining > 0:
             take = min(remaining, executor.batch)
@@ -685,6 +931,11 @@ def run_simulation_parallel(
             executor.total_iters_run += int(np.sum(np.asarray(iters_run)))
             remaining -= take
             batch_idx += 1
+            if opts.checkpoint:
+                _parallel_ckpt_save(
+                    opts.checkpoint, ckpt_fp, batch_idx, remaining,
+                    stats_list, executor.total_iters_run,
+                )
             # early stop once EVERY real point has its frame-error quota (the
             # batch applies to all points at once; the slowest point governs)
             if opts.target_errors and all(

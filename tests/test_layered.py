@@ -133,12 +133,41 @@ def test_runner_layered_schedule(setup):
         PointExecutor(nonqc, opts)
 
 
-def test_layered_rejects_multidiagonal_codes():
-    """CCSDS-style multi-diagonal blocks are not conflict-free layers."""
+def test_layered_multidiagonal_ccsds():
+    """Multi-diagonal blocks (CCSDS '0+7') decode through the layered
+    schedule via additive in-layer posterior updates; jnp and Pallas agree
+    bit-for-bit, and layered still converges faster than flooding."""
     from ldpc_tpu.models.standards import ccsds
-    from ldpc_tpu.models.qc import detect_qc
+    from ldpc_tpu.ops.spa_pallas import make_qc_decoder
 
-    qc = detect_qc(ccsds(128))
-    assert qc is not None and not qc.single_diagonal
-    with pytest.raises(ValueError, match="single-diagonal"):
-        make_qc_layered_decoder(qc, np.arange(64, dtype=np.int32), 5)
+    code = LDPCCode(alist=ccsds(128), name="ccsds_128")
+    assert code.qc is not None and not code.qc.single_diagonal
+    spec = code.standard_encode_spec
+    ip = spec.info_pos("orig")
+    enc = make_encoder(spec, "orig")
+    key = jax.random.key(3)
+    u = random_info_bits(key, 256, code.k)
+    w = np.asarray(enc(u))
+    consts = ChannelParams(snr_db=2.5, speed=0.5, noise_model="exact").consts()
+    llr = make_channel_fn(1, 1)(jax.random.fold_in(key, 1), jnp.asarray(w), consts)
+
+    ref = jax.jit(make_qc_layered_decoder(code.qc, ip, 10, "spa"))(llr)
+    ok = np.asarray(ref.ok)
+    est = np.asarray(ref.est)
+    assert ok.mean() > 0.8
+    H = code.H.to_dense().astype(np.int64)
+    assert not ((est[ok] @ H.T) % 2).any()
+
+    pal = jax.jit(
+        make_qc_decoder(code.qc, ip, 10, "spa", schedule="layered",
+                        tile_b=128, interpret=True)
+    )(llr[:128])
+    assert np.array_equal(ok[:128], np.asarray(pal.ok))
+    assert np.array_equal(est[:128], np.asarray(pal.est))
+    assert np.array_equal(np.asarray(ref.conv_iter)[:128],
+                          np.asarray(pal.conv_iter))
+
+    # layered reaches flooding's 20-iteration FER within 10 iterations
+    flood20 = jax.jit(make_decoder(code.layout("orig"), ip, 20, "spa",
+                                   rule="exact"))(llr)
+    assert ok.mean() >= np.asarray(flood20.ok).mean() - 0.02

@@ -1,0 +1,193 @@
+"""Fused Monte-Carlo kernel (ldpc_tpu.ops.mc_pallas).
+
+Strategy: the kernel's 'input' noise source takes a pre-drawn uint32 word
+stream, and channel_llr_reference replays the exact bits->LLR transform in
+plain jnp. Feeding those LLRs to the UNFUSED Pallas decoder must reproduce
+the fused kernel's counters bit-for-bit -- that pins the in-kernel channel,
+decode and metric math to the already-validated unfused path. (The hardware
+PRNG source differs only in where the words come from; it is exercised on
+TPU by the bench and integration runs.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpc_tpu.models.code import LDPCCode
+from ldpc_tpu.models.standards import ccsds, wimax
+from ldpc_tpu.ops.channel import ChannelParams
+from ldpc_tpu.ops.encode import make_encoder, make_encoder_T, random_info_bits
+from ldpc_tpu.ops.mc_pallas import (
+    DRAWS_PER_BIT,
+    box_muller,
+    channel_llr_reference,
+    consts_vector,
+    make_mc_decoder,
+    mc_kernel_fits,
+)
+from ldpc_tpu.ops.spa_pallas import make_qc_decoder
+
+
+@pytest.fixture(scope="module")
+def wimax_code():
+    return LDPCCode(alist=wimax(576, "1/2"), name="wimax_576_0.5")
+
+
+def test_encoder_T_matches_encoder(wimax_code):
+    code = wimax_code
+    spec = code.standard_encode_spec
+    u = random_info_bits(jax.random.key(0), 64, code.k)
+    w = np.asarray(make_encoder(spec, "orig")(u))
+    wT = np.asarray(make_encoder_T(spec, "orig")(u))
+    assert np.array_equal(w, wT.T)
+
+
+def test_box_muller_statistics():
+    raw = jax.random.bits(jax.random.key(1), (2, 200_000), jnp.uint32)
+    z = np.asarray(box_muller(raw[0], raw[1]))
+    assert abs(z.mean()) < 0.01
+    assert abs(z.std() - 1.0) < 0.01
+    assert np.isfinite(z).all()
+    # 24-bit Box-Muller magnitude cap (documented): nothing beyond 5.8 sigma
+    assert np.abs(z).max() < 5.8
+
+
+def _fused_vs_unfused(code, mode, modulation, snr_db, B=128, iters=8,
+                      schedule="flooding"):
+    spec = code.standard_encode_spec
+    info_pos = spec.info_pos("orig")
+    key = jax.random.key(42 + mode)
+    u = random_info_bits(key, B, code.k)
+    wT = make_encoder_T(spec, "orig")(u)
+    draws = DRAWS_PER_BIT[mode]
+    raw = jax.random.bits(jax.random.fold_in(key, 1), (draws, code.n, B),
+                          jnp.uint32)
+    params = ChannelParams(mode=mode, modulation=modulation, snr_db=snr_db,
+                           speed=0.5, interference_snr_db=6.0, p=0.1,
+                           noise_model="exact")
+    consts = params.consts()
+
+    # unfused reference: replayed LLRs through the standalone Pallas decoder
+    llr = channel_llr_reference(wT, raw, consts, mode, modulation).T
+    dec = jax.jit(make_qc_decoder(code.qc, info_pos, iters, "spa",
+                                  schedule=schedule, interpret=True))
+    res = dec(llr)
+
+    mc = make_mc_decoder(code.qc, info_pos, iters, "spa", mode=mode,
+                         modulation=modulation, schedule=schedule,
+                         noise_source="input", interpret=True)
+    err, ok, conv, norm, it_l = jax.jit(mc)(
+        wT, consts_vector(consts), jnp.zeros(2, jnp.int32), raw
+    )
+
+    assert np.array_equal(np.asarray(res.ok), np.asarray(ok))
+    assert np.array_equal(np.asarray(res.conv_iter), np.asarray(conv))
+    np.testing.assert_array_equal(np.asarray(res.norm_llr), np.asarray(norm))
+    est_info = np.asarray(res.est)[:, np.asarray(info_pos)]
+    expected_err = (est_info != np.asarray(u)).sum(axis=1)
+    assert np.array_equal(expected_err, np.asarray(err))
+    return np.asarray(ok)
+
+
+def test_fused_mode1_bpsk_bit_identical(wimax_code):
+    ok = _fused_vs_unfused(wimax_code, mode=1, modulation=1, snr_db=2.0)
+    assert 0.5 < ok.mean() <= 1.0  # waterfall point: the decode is non-trivial
+
+
+def test_fused_mode1_layered_bit_identical(wimax_code):
+    ok = _fused_vs_unfused(wimax_code, mode=1, modulation=1, snr_db=2.0,
+                           schedule="layered")
+    assert 0.5 < ok.mean() <= 1.0
+
+
+def test_fused_mode2_bit_identical():
+    code = LDPCCode(alist=ccsds(128), name="ccsds_128")
+    _fused_vs_unfused(code, mode=2, modulation=1, snr_db=6.0, B=128, iters=6)
+
+
+def test_fused_mode3_qpsk_bit_identical():
+    code = LDPCCode(alist=ccsds(128), name="ccsds_128")
+    _fused_vs_unfused(code, mode=3, modulation=2, snr_db=8.0, B=128, iters=6)
+
+
+def test_mc_kernel_fits_whole_builtin_family():
+    """Every QC code in the database fits the fused kernel's VMEM plan with
+    the hardware noise source (the production configuration)."""
+    from ldpc_tpu.models.standards import builtin_names, make_builtin
+    from ldpc_tpu.models.qc import detect_qc
+
+    checked = 0
+    for name in builtin_names():
+        qc = detect_qc(make_builtin(name))
+        if qc is None:
+            continue
+        checked += 1
+        for schedule in ("flooding", "layered"):
+            assert mc_kernel_fits(qc, schedule, noise_source="hw"), (
+                name, schedule)
+    assert checked > 100  # the database is essentially all QC
+
+
+class TestRunnerFusedPath:
+    def _opts(self, **kw):
+        from ldpc_tpu.sim.config import SimOptions
+
+        base = dict(
+            matrix="wimax_576_0.5", blocks=256, iterations=8, ber=True,
+            fer=True, fidelity="exact", batch=256, seed=3, fused="on",
+        )
+        base.update(kw)
+        return SimOptions(**base)
+
+    def test_fused_runner_deterministic_and_sane(self, wimax_code):
+        from ldpc_tpu.sim.runner import PointExecutor
+
+        ex = PointExecutor(wimax_code, self._opts())
+        assert ex.kernel_used.startswith("pallas+fused")
+        s1 = ex.run_point(2.5, 256, jax.random.key(5), 0)
+        s2 = ex.run_point(2.5, 256, jax.random.key(5), 0)
+        assert (s1.blocks, s1.ok_blocks, s1.error_bits, s1.fer_frames) == (
+            s2.blocks, s2.ok_blocks, s2.error_bits, s2.fer_frames)
+        assert s1.blocks == 256
+        assert s1.ok_blocks > 200  # 2.5 dB: most frames decode
+
+    def test_fused_matches_unfused_statistically(self, wimax_code):
+        from ldpc_tpu.sim.runner import PointExecutor
+
+        fer = {}
+        for fused in ("on", "off"):
+            ex = PointExecutor(wimax_code, self._opts(fused=fused, blocks=512,
+                                                      batch=512))
+            s = ex.run_point(3.0, 512, jax.random.key(9), 0)
+            fer[fused] = s.fer_frames / s.blocks
+        # independent noise streams -- compare within generous MC tolerance
+        assert abs(fer["on"] - fer["off"]) < 0.05, fer
+
+    def test_chunked_dispatch_matches_single_steps(self, wimax_code):
+        """run_point's scan-of-N dispatch groups must produce the same
+        counters as the per-batch stream (identical key folding)."""
+        from ldpc_tpu.sim.runner import PointExecutor
+
+        opts = self._opts(blocks=512, batch=128, iterations=6)
+        ex = PointExecutor(wimax_code, opts)
+        assert hasattr(ex, "_chunk")
+        chunked = ex.run_point(2.5, 512, jax.random.key(11), 0)
+
+        ex2 = PointExecutor(wimax_code, opts)
+        ex2._chunk = None  # force the single-step path
+        single = ex2.run_point(2.5, 512, jax.random.key(11), 0)
+        assert (chunked.blocks, chunked.ok_blocks, chunked.error_bits,
+                chunked.fer_frames, chunked.conv_iters_sum,
+                chunked.conv_count) == (
+            single.blocks, single.ok_blocks, single.error_bits,
+            single.fer_frames, single.conv_iters_sum, single.conv_count)
+        assert abs(chunked.norm_llr_sum - single.norm_llr_sum) < 1e-4
+
+    def test_fused_on_rejects_ineligible(self, wimax_code):
+        from ldpc_tpu.sim.runner import PointExecutor
+
+        with pytest.raises(ValueError, match="fused"):
+            PointExecutor(wimax_code, self._opts(interleaver="random"))
