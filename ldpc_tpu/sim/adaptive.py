@@ -140,9 +140,11 @@ class ThresholdStrategy(AdaptiveStrategy):
 class AdaptiveController:
     """Orchestrates an adaptive SNR sweep (adaptive.py:127-440 analogue)."""
 
-    def __init__(self, strategy: AdaptiveStrategy, catalog: MatrixCatalog):
+    def __init__(self, strategy: AdaptiveStrategy, catalog: MatrixCatalog,
+                 mesh=None):
         self.strategy = strategy
         self.catalog = catalog
+        self.mesh = mesh  # jax.sharding.Mesh: point executors shard over it
         self._executors: dict[tuple, PointExecutor] = {}
 
     def _executor(self, opts: SimOptions, state: AdaptiveState) -> PointExecutor:
@@ -160,6 +162,7 @@ class AdaptiveController:
                 max_iterations=state.current_max_iterations,
                 interleaver=state.current_interleaver,
                 modulation=state.current_modulation,
+                mesh=self.mesh,
             )
         return self._executors[key]
 

@@ -182,14 +182,27 @@ def test_snr_only_mesh():
     assert all(p.total_blocks == 32 for p in res.snr_points)
 
 
-def test_parallel_sweep_rejects_checkpoint():
-    from ldpc_tpu.parallel.mesh import make_mesh
+def test_adaptive_sweep_on_mesh_matches_single_device():
+    """Adaptive sweeps shard their point executors over the batch mesh
+    (VERDICT r1: adaptive previously ignored --mesh); counters must equal the
+    single-device run (threefry partitionability)."""
+    from ldpc_tpu.models.catalog import MatrixCatalog
+    from ldpc_tpu.sim.adaptive import AdaptiveController, ThresholdStrategy
     from ldpc_tpu.sim.config import SimOptions
-    from ldpc_tpu.sim.runner import run_simulation_parallel
 
-    opts = SimOptions(matrix="builtin:BCH_7_4_1_strip.alist.txt", blocks=8,
-                      ber=True, checkpoint="x.json", quiet=True)
-    import pytest as _pytest
+    opts = SimOptions(
+        matrix="builtin:wimax_576_0.5.alist.txt", blocks=32, iterations=5,
+        ber=True, fer=True, initial_snr=0.0, end_snr=2.0, step_snr=1.0,
+        fidelity="exact", batch=32, seed=3, quiet=True,
+    )
+    catalog = MatrixCatalog(None)
+    single = AdaptiveController(ThresholdStrategy(), catalog).run_adaptive_sweep(opts)
+    meshed = AdaptiveController(
+        ThresholdStrategy(), catalog, mesh=make_mesh({"batch": 8})
+    ).run_adaptive_sweep(opts)
 
-    with _pytest.raises(ValueError, match="checkpoint"):
-        run_simulation_parallel(opts, mesh=make_mesh({"batch": 8}))
+    assert single.adaptation_log == meshed.adaptation_log
+    for a, b in zip(single.snr_points, meshed.snr_points):
+        assert (a.snr_db, a.total_blocks, a.successful_blocks) == (
+            b.snr_db, b.total_blocks, b.successful_blocks)
+        assert a.ber == b.ber and a.fer == b.fer
