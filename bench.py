@@ -61,21 +61,22 @@ def main() -> int:
     executor = PointExecutor(code, opts)
     key = jax.random.key(0)
 
-    # compile + warmup: run the production point loop at the SAME shape as
-    # the timed windows (one scan-of-40 dispatch group) -- the first
-    # dispatches after compilation pay one-time runtime/transfer costs
-    # (esp. via remote TPU tunnels)
-    n_timed_batches = 40
+    # compile + warmup: run the production point loop (scan-of-64 dispatch
+    # groups on the fused path) -- the first dispatches after compilation
+    # pay one-time runtime/transfer costs (esp. via remote TPU tunnels)
+    n_timed_batches = 320
     for w in range(2):
         executor.run_point(
-            2.0, batch * n_timed_batches, jax.random.fold_in(key, 999 + w), w
+            2.0, batch * 64, jax.random.fold_in(key, 999 + w), w
         )
 
-    # timed region: the PRODUCTION streaming path (run_point), which on the
-    # fused TPU path scans 8 Monte-Carlo batches per dispatch. Long windows
-    # (NS batches) average out per-dispatch tunnel jitter; the median across
-    # NW windows rejects slow-window outliers.
-    n_timed, n_windows = n_timed_batches, 9
+    # timed region: the PRODUCTION streaming path (run_point). Windows are
+    # LONG (NS batches = 5 pipelined scan-of-64 dispatches) so the fixed
+    # per-window costs -- one ~28 ms tunnel sync plus one packed-counter
+    # fetch per dispatch group -- amortize below 5%; the median across NW
+    # windows rejects slow-window outliers (tunnel throughput swings 2x
+    # between identical runs).
+    n_timed, n_windows = n_timed_batches, 5
     codewords = n_timed * batch  # per window
     window_times = []
     fer_frames = 0

@@ -94,6 +94,39 @@ def reduce_block_stats(stats: BlockStats, valid: jax.Array) -> BlockCounters:
     )
 
 
+def pack_counters(c: BlockCounters, iters: jax.Array) -> jax.Array:
+    """BlockCounters + iteration count -> ONE int32[8] device vector.
+
+    Remote-TPU links pay a ~28 ms round trip PER host fetch; fetching a
+    BlockCounters leaf-by-leaf costs 7 of them. Packing the six int32
+    counters, the iteration count and the bitcast norm_llr_sum into a
+    single vector makes the whole batch result one transfer
+    (:func:`unpack_counters` reverses it on the host)."""
+    ints = jnp.stack([
+        c.blocks, c.ok_blocks, c.error_bits, c.fer_frames,
+        c.conv_iters_sum, c.conv_count, iters.astype(jnp.int32),
+    ])
+    f = jax.lax.bitcast_convert_type(
+        c.norm_llr_sum.astype(jnp.float32), jnp.int32
+    )
+    return jnp.concatenate([ints, f[None]])
+
+
+def unpack_counters(vec) -> tuple[BlockCounters, int]:
+    """Host-side inverse of :func:`pack_counters` (numpy scalars)."""
+    import numpy as np
+
+    v = np.asarray(vec)
+    norm = v[7:8].view(np.float32)[0]
+    return (
+        BlockCounters(
+            blocks=v[0], ok_blocks=v[1], error_bits=v[2], fer_frames=v[3],
+            norm_llr_sum=norm, conv_iters_sum=v[4], conv_count=v[5],
+        ),
+        int(v[6]),
+    )
+
+
 def count_block_metrics(
     u: jax.Array,
     result,

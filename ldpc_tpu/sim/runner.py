@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 import time
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from datetime import datetime
 from functools import lru_cache
 
@@ -33,7 +33,9 @@ from ldpc_tpu.ops.metrics import (
     BlockCounters,
     BlockStats,
     block_stats,
+    pack_counters,
     reduce_block_stats,
+    unpack_counters,
 )
 from ldpc_tpu.ops.spa import make_decoder
 from ldpc_tpu.sim.config import SimOptions
@@ -61,10 +63,7 @@ _PALLAS_VARIANTS = ("spa", "minsum", "normalized_minsum", "offset_minsum")
 def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
     """Pick the decode kernel: the fused QC Pallas kernel when the code is
     quasi-cyclic and the configuration supports it, else the XLA decoder.
-    Both produce bit-identical results (see tests/test_pallas.py). With
-    two-phase straggler compaction enabled, the kernel is built at two
-    iteration budgets and wrapped (ldpc_tpu.ops.straggler) -- still
-    bit-identical to a single full-budget pass."""
+    Both produce bit-identical results (see tests/test_pallas.py)."""
     variant = opts.decoder_variant
     on_tpu = jax.default_backend() == "tpu"
     want = opts.kernel
@@ -141,23 +140,7 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
     kind = "pallas" if use_pallas else "xla"
     if schedule == "layered":
         kind += "+layered"
-    screen = opts.screen_iters or max(4, (6 * max_iterations) // 10)
-    two_phase = opts.straggler == "on" or (
-        opts.straggler == "auto" and max_iterations > screen and batch >= 512
-    )
-    if two_phase and max_iterations > screen:
-        from ldpc_tpu.ops.straggler import make_straggler_decoder
-
-        capacity = max(128, int(batch * opts.straggler_frac))
-        capacity = -(-capacity // 128) * 128  # tile multiple for the kernel
-        full = build(max_iterations)
-        return (
-            make_straggler_decoder(build(screen), full, capacity),
-            kind + "+straggler",
-            full,
-        )
-    dec = build(max_iterations)
-    return dec, kind, dec
+    return build(max_iterations), kind
 
 
 @dataclass
@@ -361,7 +344,7 @@ class PointExecutor:
                 )
                 return stats, jnp.max(it_l)
 
-            self._step = self._step_plain = jax.jit(fused_step)
+            self._step = jax.jit(fused_step)
 
             # Chunked dispatch: scan CHUNK_STEPS Monte-Carlo steps inside ONE
             # jitted program, reducing counters on device -- per-dispatch host
@@ -386,10 +369,11 @@ class PointExecutor:
                     return tot + c, it
 
                 tot, its = jax.lax.scan(body, BlockCounters.zeros(), keys)
-                return tot, jnp.sum(its)
+                # one int32[8] output -> ONE host fetch per dispatch group
+                # (leaf-by-leaf fetches cost a tunnel round trip each)
+                return pack_counters(tot, jnp.sum(its))
 
             self._chunk = jax.jit(fused_chunk, static_argnums=3)
-            self._two_phase = False
             self.kernel_used = "pallas+fused" + (
                 "+layered" if schedule == "layered" else ""
             )
@@ -398,13 +382,16 @@ class PointExecutor:
                 code, opts, layout, info_pos, spec, il_kind, sharding,
                 S, P, _u_mask, _llr_punct, _llr_short, KNOWN_LLR,
             )
-        self._straggler_fer_gate = opts.straggler_frac / 10.0
-
         def reduce(stats, valid_count: jax.Array) -> BlockCounters:
             valid = jnp.arange(batch) < valid_count
             return reduce_block_stats(stats, valid)
 
         self._reduce = jax.jit(reduce)
+        self._reduce_packed = jax.jit(
+            lambda stats, valid_count, iters: pack_counters(
+                reduce(stats, valid_count), iters
+            )
+        )
         self._consts_cache: dict[float, ChannelConsts] = {}
         self.total_iters_run = 0
 
@@ -422,7 +409,7 @@ class PointExecutor:
             il_kind, code.n, s_param=opts.s_param, seed=opts.seed
         )
         channel = make_channel_fn(opts.mode, self.modulation, n=code.n)
-        decode, self.kernel_used, decode_plain = _select_decoder(
+        decode, self.kernel_used = _select_decoder(
             code, opts, layout, info_pos, self.max_iterations, batch=self.batch
         )
 
@@ -454,14 +441,6 @@ class PointExecutor:
             return step
 
         self._step = jax.jit(make_step(decode))
-        # plain full-budget step: used for the first batch of every SNR point
-        # (and for the rest of a point whose failure rate would overflow the
-        # straggler compaction capacity -- deep-waterfall points)
-        self._step_plain = (
-            jax.jit(make_step(decode_plain)) if decode_plain is not decode
-            else self._step
-        )
-        self._two_phase = decode_plain is not decode
 
     def run_point(
         self, snr_db: float, blocks: int, base_key: jax.Array, point_index: int
@@ -505,34 +484,32 @@ class PointExecutor:
             and not (target_errors and stats.fer_frames >= target_errors)
         ):
             n = min(remaining // self.batch, max_chunk)
-            counters, iters = chunk_fn(
-                key_point, jnp.int32(batch_idx), consts, n
-            )
+            packed = chunk_fn(key_point, jnp.int32(batch_idx), consts, n)
             if target_errors:
-                stats.add(jax.tree.map(np.asarray, counters))
-                self.total_iters_run += int(iters)
+                counters, iters = unpack_counters(packed)
+                stats.add(counters)
+                self.total_iters_run += iters
             else:
-                pending.append((counters, iters))
+                pending.append(packed)
             remaining -= self.batch * n
             batch_idx += n
-        for counters, iters in pending:
-            stats.add(jax.tree.map(np.asarray, counters))
-            self.total_iters_run += int(iters)
+        for packed in pending:
+            counters, iters = unpack_counters(packed)
+            stats.add(counters)
+            self.total_iters_run += iters
         if target_errors and stats.fer_frames >= target_errors:
             remaining = 0
-        step = self._step_plain  # first batch probes the point's failure rate
+        step = self._step
         while remaining > 0:
             take = min(remaining, self.batch)
             key = jax.random.fold_in(key_point, batch_idx)
             block, iters_run = step(key, consts)
-            counters = self._reduce(block, jnp.int32(take))
-            stats.add(jax.tree.map(np.asarray, counters))
-            self.total_iters_run += int(iters_run)
+            counters, iters = unpack_counters(
+                self._reduce_packed(block, jnp.int32(take), iters_run)
+            )
+            stats.add(counters)
+            self.total_iters_run += iters
             remaining -= take
-            if batch_idx == 0 and self._two_phase and remaining > 0:
-                fer_est = stats.fer_frames / max(stats.blocks, 1)
-                if fer_est < self._straggler_fer_gate:
-                    step = self._step  # straggler compaction for the rest
             batch_idx += 1
             # sequential MC early stop: the FER/BER estimators' precision is
             # set by the error count, so once enough frame errors are in,
@@ -846,14 +823,6 @@ def run_simulation_parallel(
     from ldpc_tpu.parallel.mesh import make_mesh, sharded_sweep_step
 
     opts = opts.resolved()
-    if opts.straggler != "off":
-        # the straggler's lax.cond lowers to select (BOTH branches run) once
-        # the point step is vmapped over the snr axis -- it would add the
-        # full-budget decode on top of the screen instead of replacing it
-        if not opts.quiet:
-            print("straggler compaction disabled under the parallel sweep "
-                  "(vmapped cond would execute both branches)")
-        opts = replace(opts, straggler="off")
     start_time = time.time()
     if code is None:
         code = load_code(opts.matrix)
