@@ -52,10 +52,13 @@ def make_encoder_T(spec, graph: str = "orig"):
     info_cols = dm < k
     Gfull[dm[info_cols], np.nonzero(info_cols)[0]] = 1.0
     Gfull[:, ~info_cols] = spec.P[:, dm[~info_cols] - k]
-    GT = jnp.asarray(Gfull.T)  # [n, k]
+    # bf16 inputs are exact for 0/1 and the MXU accumulates in f32, so the
+    # GF(2) sum (< 2^11 terms) is exact while the matmul runs at the MXU's
+    # native bf16 rate
+    GT = jnp.asarray(Gfull.T, jnp.bfloat16)  # [n, k]
 
     def encode_T(u: jax.Array) -> jax.Array:
-        uT = u.astype(jnp.float32).T  # [k, B]
+        uT = u.astype(jnp.bfloat16).T  # [k, B]
         x = jnp.dot(GT, uT, preferred_element_type=jnp.float32)
         return jnp.mod(x, 2.0)
 

@@ -71,7 +71,24 @@ def box_muller(raw1: jax.Array, raw2: jax.Array) -> jax.Array:
     return r * jnp.cos(TWO_PI * u2)
 
 
-# draws of one uint32 word per bit, by channel mode:
+def box_muller2(raw1: jax.Array, raw2: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """TWO independent standard normals from two uint32 words.
+
+    Box-Muller yields a full 2-D Gaussian per uniform pair; using both the
+    cosine and sine branches halves the PRNG words and the log/sqrt
+    transcendentals per noise sample -- the channel section of the fused
+    kernel generates noise for two adjacent base columns per draw pair."""
+    u1 = _uniform01(raw1)
+    u2 = _uniform01(raw2)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    ang = TWO_PI * u2
+    return r * jnp.cos(ang), r * jnp.sin(ang)
+
+
+# raw-plane SLOTS per bit in the injected-noise layout, by channel mode
+# (the hw path generates fewer words: normals come in cos/sin pairs shared
+# by two adjacent base columns, so only the even column's planes of each
+# normal are consumed -- see _make_channel_fill)
 #   mode 1: 2 (one normal)   mode 2: 5 (two normals + jam uniform)
 #   mode 3: 4 (two normals)
 DRAWS_PER_BIT = {1: 2, 2: 5, 3: 4}
@@ -100,6 +117,7 @@ def make_mc_decoder(
     schedule: str = "flooding",
     noise_source: str = "hw",
     interpret: bool = False,
+    debug_llr: bool = False,
 ):
     """Build ``mc_step(wT, consts_vec, seeds[, raw]) -> BlockStats-like``.
 
@@ -124,6 +142,8 @@ def make_mc_decoder(
         raise ValueError("MC kernel supports modulation 1 (BPSK) / 2 (QPSK proxy)")
     if noise_source not in ("hw", "input"):
         raise ValueError(f"Unknown noise source: {noise_source!r}")
+    if debug_llr and noise_source != "input":
+        raise ValueError("debug_llr is an injected-noise test hook")
 
     n, Z, nb, mb = qc.n, qc.Z, qc.nb, qc.mb
     row_slots = qc.row_slots()
@@ -141,36 +161,57 @@ def make_mc_decoder(
         tile_b=tile_b, schedule=schedule, k=k,
     )
 
-    def channel_llr(x_blk, raw_blk, c):
-        """One base column's channel LLRs in the log(p0/p1) domain ([Z, TB]).
+    def channel_fill(x_blk, get, llr_ref, c):
+        """Fill every base column's channel LLRs (log(p0/p1) domain).
 
-        ``x_blk``: transmitted bits 0/1; ``raw_blk(d)``: d-th uint32 word
-        plane; ``c(name)``: runtime scalar. Negation into log(p0/p1) is
-        fused (the decode loop runs the exact parity rule)."""
-        sym = (2.0 * x_blk - 1.0) * amp
-        if mode == 1:
-            noise = c("noise1_std") * box_muller(raw_blk(0), raw_blk(1))
-            llr = c("llr_scale") * (sym + noise)
-        elif mode == 2:
-            n1 = c("sigma1") * box_muller(raw_blk(0), raw_blk(1))
-            n2 = c("sigma2") * box_muller(raw_blk(2), raw_blk(3))
-            jam = _uniform01(raw_blk(4)) < c("p")
-            llr = jnp.where(jam, (sym + n1 + n2) * c("l_c2"),
-                            (sym + n1) * c("l_c1"))
-        else:  # mode 3
-            n1 = c("sigma1") * box_muller(raw_blk(0), raw_blk(1))
-            n2 = c("sigma2") * box_muller(raw_blk(2), raw_blk(3))
-            llr = ((sym + n1 + n2) * c("p") + (sym + n1) * (1.0 - c("p"))) \
-                * c("l_c3")
-        return -llr
+        ``x_blk(bj)``: transmitted bits 0/1 [Z, TB]; ``get(d, bj)``: uint32
+        word plane -- slot d of base column bj in the injected layout (the
+        hw source generates a fresh plane per request and only requests
+        what the pairing consumes); ``c(name)``: runtime scalar. Adjacent
+        base columns share one Box-Muller draw pair (cos/sin branches), and
+        negation into log(p0/p1) is fused (the decode loop runs the exact
+        parity rule)."""
+
+        def bpsk(bj):
+            return (2.0 * x_blk(bj) - 1.0) * amp
+
+        for p in range(0, nb, 2):
+            c0 = p
+            c1 = p + 1 if p + 1 < nb else None
+            if mode == 1:
+                z0, z1 = box_muller2(get(0, c0), get(1, c0))
+                for bj, z in ((c0, z0),) + (((c1, z1),) if c1 is not None else ()):
+                    llr_ref[bj] = -(
+                        c("llr_scale") * (bpsk(bj) + c("noise1_std") * z)
+                    )
+                continue
+            a0, a1 = box_muller2(get(0, c0), get(1, c0))
+            b0, b1 = box_muller2(get(2, c0), get(3, c0))
+            cols = ((c0, a0, b0),) + (
+                ((c1, a1, b1),) if c1 is not None else ()
+            )
+            for bj, za, zb in cols:
+                sym = bpsk(bj)
+                n1 = c("sigma1") * za
+                n2 = c("sigma2") * zb
+                if mode == 2:
+                    jam = _uniform01(get(4, bj)) < c("p")
+                    llr = jnp.where(jam, (sym + n1 + n2) * c("l_c2"),
+                                    (sym + n1) * c("l_c1"))
+                else:  # mode 3
+                    llr = ((sym + n1 + n2) * c("p")
+                           + (sym + n1) * (1.0 - c("p"))) * c("l_c3")
+                llr_ref[bj] = -llr
 
     def kernel(consts_ref, seeds_ref, w_ref, mask_ref, *refs):
         if hw:
             err_ref, ok_ref, conv_ref, norm_ref, iters_ref, \
                 E_ref, L_ref, prior_ref, llr_ref = refs
         else:
-            raw_in, err_ref, ok_ref, conv_ref, norm_ref, iters_ref, \
-                E_ref, L_ref, prior_ref, llr_ref = refs
+            raw_in, err_ref, ok_ref, conv_ref, norm_ref, iters_ref = refs[:6]
+            rest = refs[6:]
+            dllr_ref = rest[0] if debug_llr else None
+            E_ref, L_ref, prior_ref, llr_ref = rest[-4:]
         TB = tile_b
 
         def c(name):
@@ -186,21 +227,24 @@ def make_mc_decoder(
         def x_blk(j):
             return w_ref[pl.ds(j * Z, Z), :]
 
-        # ---- channel: fill the LLR scratch block by block ----
-        for bj in range(nb):
-            if hw:
-                planes = [
-                    pltpu.bitcast(pltpu.prng_random_bits((Z, TB)), jnp.uint32)
-                    for _ in range(draws)
-                ]
+        if hw:
+            def get(d, bj):
+                return pltpu.bitcast(
+                    pltpu.prng_random_bits((Z, TB)), jnp.uint32
+                )
+        else:
+            def get(d, bj):
+                return raw_in[d, pl.ds(bj * Z, Z), :]
 
-                def raw_blk(d, planes=planes):
-                    return planes[d]
-            else:
-                def raw_blk(d, bj=bj):
-                    return raw_in[d, pl.ds(bj * Z, Z), :]
-
-            llr_ref[bj] = channel_llr(x_blk(bj), raw_blk, c)
+        # ---- channel: fill the LLR scratch, two base columns per draw ----
+        channel_fill(x_blk, get, llr_ref, c)
+        if not hw and debug_llr:
+            # expose the EXACT in-kernel LLR bits (decode domain): the
+            # channel math compiles with FMA contraction inside the kernel
+            # program, so an eager host replay can differ by 1 ulp -- tests
+            # needing strict decode bit-identity must consume these
+            for bj in range(nb):
+                dllr_ref[pl.ds(bj * Z, Z), :] = llr_ref[bj]
 
         def mask_blk(j):
             return mask_ref[pl.ds(j * Z, Z), :]
@@ -255,21 +299,29 @@ def make_mc_decoder(
             args.append(rawp)
 
         out_row = lambda dt: jax.ShapeDtypeStruct((1, Bp), dt)
-        err, ok_f, conv, norm, iters = grid_kernel(
+        out_specs = [
+            pl.BlockSpec((1, tile_b), lambda b: (0, b),
+                         memory_space=pltpu.VMEM)
+            for _ in range(5)
+        ]
+        out_shape = [
+            out_row(jnp.float32),
+            out_row(jnp.float32),
+            out_row(jnp.int32),
+            out_row(jnp.float32),
+            out_row(jnp.int32),
+        ]
+        if debug_llr:
+            out_specs.append(
+                pl.BlockSpec((n, tile_b), lambda b: (0, b),
+                             memory_space=pltpu.VMEM)
+            )
+            out_shape.append(jax.ShapeDtypeStruct((n, Bp), jnp.float32))
+        outs = grid_kernel(
             grid=grid,
             in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((1, tile_b), lambda b: (0, b),
-                             memory_space=pltpu.VMEM)
-                for _ in range(5)
-            ],
-            out_shape=[
-                out_row(jnp.float32),
-                out_row(jnp.float32),
-                out_row(jnp.int32),
-                out_row(jnp.float32),
-                out_row(jnp.int32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((mb, dcb, Z, tile_b), jnp.float32),  # E
                 pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # L
@@ -277,14 +329,18 @@ def make_mc_decoder(
                 pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # llr
             ],
         )(*args)
+        err, ok_f, conv, norm, iters = outs[:5]
 
-        return (
+        result = (
             err[0, :B].astype(jnp.int32),
             ok_f[0, :B] > 0,
             conv[0, :B],
             norm[0, :B],
             iters[0, :B],
         )
+        if debug_llr:
+            result = result + (outs[5][:, :B],)
+        return result
 
     return mc_step
 
@@ -311,27 +367,49 @@ def mc_kernel_fits(qc: QCLayout, schedule: str = "flooding",
 
 
 def channel_llr_reference(
-    wT: jax.Array, raw: jax.Array, consts, mode: int, modulation: int
+    wT: jax.Array, raw: jax.Array, consts, mode: int, modulation: int,
+    Z: int,
 ) -> jax.Array:
     """Independent jnp replay of the kernel's bits->LLR transform.
 
-    Given the same raw uint32 draw stream, produces EXACTLY the LLRs (in the
-    channel's sign convention, before the kernel's negation) that
-    ``noise_source='input'`` computes -- the hook for bit-identity tests of
-    the fused kernel against the unfused decoders.
+    Given the same raw uint32 draw stream ([draws, n, B] in the injected
+    layout), produces EXACTLY the LLRs (in the channel's sign convention,
+    before the kernel's negation) that ``noise_source='input'`` computes --
+    the hook for bit-identity tests of the fused kernel against the unfused
+    decoders. ``Z`` is the QC lift size: adjacent base columns share one
+    Box-Muller pair (even column's planes, cos/sin branches), so the
+    pairing must be replayed block-wise.
     """
     amp = 1.0 if modulation == 1 else 0.7
+    n, B = wT.shape
+    nb = n // Z
     sym = (2.0 * wT.astype(jnp.float32) - 1.0) * amp
+
+    def blk(x, bj):
+        return x[bj * Z:(bj + 1) * Z]
+
+    # normals per column from the even column's draw planes
+    z1 = [None] * nb  # first normal (n1 / mode-1 noise)
+    z2 = [None] * nb  # second normal (n2), modes 2/3
+    for p in range(0, nb, 2):
+        a0, a1 = box_muller2(blk(raw[0], p), blk(raw[1], p))
+        z1[p] = a0
+        if p + 1 < nb:
+            z1[p + 1] = a1
+        if mode != 1:
+            b0, b1 = box_muller2(blk(raw[2], p), blk(raw[3], p))
+            z2[p] = b0
+            if p + 1 < nb:
+                z2[p + 1] = b1
+    zA = jnp.concatenate(z1, axis=0)
     if mode == 1:
-        noise = consts.noise1_std * box_muller(raw[0], raw[1])
-        return consts.llr_scale * (sym + noise)
+        return consts.llr_scale * (sym + consts.noise1_std * zA)
+    zB = jnp.concatenate(z2, axis=0)
+    n1 = consts.sigma1 * zA
+    n2 = consts.sigma2 * zB
     if mode == 2:
-        n1 = consts.sigma1 * box_muller(raw[0], raw[1])
-        n2 = consts.sigma2 * box_muller(raw[2], raw[3])
         jam = _uniform01(raw[4]) < consts.p
         return jnp.where(jam, (sym + n1 + n2) * consts.l_c2,
                          (sym + n1) * consts.l_c1)
-    n1 = consts.sigma1 * box_muller(raw[0], raw[1])
-    n2 = consts.sigma2 * box_muller(raw[2], raw[3])
     return ((sym + n1 + n2) * consts.p + (sym + n1) * (1.0 - consts.p)) \
         * consts.l_c3
