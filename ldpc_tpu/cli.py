@@ -156,16 +156,6 @@ Examples:
                         help="Stop each SNR point after this many frame errors "
                              "(equalizes estimator precision across points; "
                              "0 = fixed --blocks like the reference)")
-    parser.add_argument("--straggler", type=str, choices=["auto", "on", "off"],
-                        default="off",
-                        help="Two-phase straggler compaction: screen the batch with "
-                             "a short iteration budget, re-decode only failures at "
-                             "full budget (bit-identical results)")
-    parser.add_argument("--screen-iters", type=int, default=0,
-                        help="Phase-1 iteration budget for straggler compaction "
-                             "(0 = 60%% of max iterations)")
-    parser.add_argument("--straggler-frac", type=float, default=0.125,
-                        help="Phase-2 capacity as a fraction of the device batch")
     parser.add_argument("--distributed", action="store_true",
                         help="Initialize jax.distributed (multi-host) before "
                              "building the device mesh; see "
@@ -228,9 +218,6 @@ def options_from_args(args: argparse.Namespace) -> SimOptions:
         checkpoint=args.checkpoint,
         resume=args.resume,
         profile=args.profile,
-        straggler=args.straggler,
-        screen_iters=args.screen_iters,
-        straggler_frac=args.straggler_frac,
         quiet=args.quiet,
     )
 

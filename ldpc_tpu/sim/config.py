@@ -120,15 +120,6 @@ class SimOptions:
     # high SNR). 0 = fixed block count like the reference.
     target_errors: int = 0
 
-    # --- two-phase straggler compaction (ldpc_tpu.ops.straggler) ---
-    # Bit-exact screen-then-recompact decode schedule. Off by default: the
-    # iteration-count model predicts ~1.3x at waterfall points, but measured
-    # gains are ~1.05x (fixed per-iteration costs outside the message loop);
-    # opt in with 'on'/'auto' (auto gates per SNR point on first-batch FER).
-    straggler: str = "off"  # 'auto' | 'on' | 'off'
-    screen_iters: int = 0  # phase-1 iteration budget (0 = 60% of max_iterations)
-    straggler_frac: float = 0.125  # phase-2 capacity as a fraction of batch
-
     def resolved(self) -> "SimOptions":
         """Fill fidelity-derived fields."""
         if self.fidelity not in ("reference", "exact"):

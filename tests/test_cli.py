@@ -21,7 +21,7 @@ def test_defaults_match_reference():
     assert o.mode == 1 and o.modulation == 1 and o.encoding_method == "standard"
     assert not (o.ber or o.fer or o.normalized_llr or o.adaptive)
     assert o.fidelity == "reference" and o.schedule == "flooding"
-    assert o.straggler == "off" and o.target_errors == 0
+    assert o.target_errors == 0
 
 
 def test_every_flag_reaches_simoptions():
@@ -41,8 +41,7 @@ def test_every_flag_reaches_simoptions():
         "--kernel", "xla", "--schedule", "layered",
         "--minsum-alpha", "0.8", "--minsum-beta", "0.1",
         "--checkpoint", "ck.json", "--resume", "--profile", "tr",
-        "--target-errors", "50", "--straggler", "on",
-        "--screen-iters", "4", "--straggler-frac", "0.25", "--quiet",
+        "--target-errors", "50", "--quiet",
     ])
     assert o.blocks == 7 and o.iterations == 3
     assert o.interleaver == "srandom" and o.decoder_variant == "minsum"
@@ -56,8 +55,7 @@ def test_every_flag_reaches_simoptions():
     assert o.kernel == "xla" and o.schedule == "layered"
     assert o.minsum_alpha == 0.8 and o.minsum_beta == 0.1
     assert o.checkpoint == "ck.json" and o.resume and o.profile == "tr"
-    assert o.target_errors == 50 and o.straggler == "on"
-    assert o.screen_iters == 4 and o.straggler_frac == 0.25 and o.quiet
+    assert o.target_errors == 50 and o.quiet
     assert o.output_json == "a.json" and o.output_csv == "a.csv"
 
 
