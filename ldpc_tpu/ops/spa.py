@@ -60,7 +60,17 @@ class DecodeResult(NamedTuple):
 
 
 def _prod_clip(dtype) -> float:
-    return PROD_CLIP_F64 if dtype == jnp.float64 else PROD_CLIP_F32
+    """Largest value strictly below 1.0 IN THE MESSAGE DTYPE.
+
+    The clip must survive a round-trip through ``dtype``: the f32 constant
+    rounds to exactly 1.0 in bfloat16, which sends the 2*atanh log form to
+    +inf and collapses the whole decode to NaN -> all-zero estimates that
+    pass the syndrome check (measured in examples/quantized_messages)."""
+    if dtype == jnp.float64:
+        return PROD_CLIP_F64
+    if dtype == jnp.bfloat16:
+        return 1.0 - 2.0**-8  # largest bf16 < 1
+    return PROD_CLIP_F32
 
 
 def _exclusive_prod(t: jax.Array) -> jax.Array:
@@ -111,6 +121,7 @@ def make_decoder(
     beta: float = 0.15,
     dtype=jnp.float32,
     early_exit: bool = True,
+    quantize_msgs=None,
 ):
     """Build ``decode(llr: [B, n]) -> DecodeResult`` over an EdgeLayout.
 
@@ -134,6 +145,10 @@ def make_decoder(
     ``early_exit``: use a while_loop that stops when all codewords converged
     (host semantics identical either way; fixed-trip fori_loop variant is
     useful for benchmarking steady-state iteration cost).
+    ``quantize_msgs``: optional elementwise fn applied to the var->check
+    messages at the start of every iteration -- the hook for message
+    precision studies (bf16 rounding, int8 min-sum grids); see
+    examples/quantized_messages.
     """
     variant = variant.lower().replace("-", "_")
     if variant in ("bitflipping", "bit_flipping"):
@@ -165,12 +180,22 @@ def make_decoder(
         pad_mag = jnp.asarray(1e30, dtype)
         sgn = jnp.where(slot_valid, _signs(M), jnp.ones((), dtype))
         mag = jnp.where(slot_valid, jnp.abs(M), pad_mag)
-        total_sign = jnp.prod(sgn, axis=-1, keepdims=True)
+        # total sign via negative-count parity, NOT jnp.prod: a reduce-prod
+        # over the dc axis inside this decode loop SIGSEGVs the XLA:TPU
+        # compiler (observed on v5e; min/sum reductions are fine)
+        neg = jnp.sum((sgn < 0).astype(jnp.int32), axis=-1, keepdims=True)
+        total_sign = (1 - 2 * (neg % 2)).astype(dtype)
         excl_sign = total_sign * sgn  # sign in {+-1}: division == multiplication
+        # two-min via value masks, not argmin+one_hot: the latter pattern
+        # inside this while-loop SIGSEGVs the XLA:TPU compiler (observed on
+        # v5e), and masks are cheaper anyway. Tie semantics are identical:
+        # a duplicated minimum means every min slot's exclusive min is still
+        # min1 (min2 == min1 from the other duplicate).
         min1 = jnp.min(mag, axis=-1, keepdims=True)
-        is_min = jax.nn.one_hot(jnp.argmin(mag, axis=-1), dc, dtype=bool)
+        is_min = mag == min1
+        multi = jnp.sum(is_min, axis=-1, keepdims=True) > 1
         min2 = jnp.min(jnp.where(is_min, pad_mag, mag), axis=-1, keepdims=True)
-        excl_min = jnp.where(is_min, min2, min1)
+        excl_min = jnp.where(is_min & ~multi, min2, min1)
         if variant == "normalized_minsum":
             excl_min = alpha * excl_min
         elif variant == "offset_minsum":
@@ -211,6 +236,8 @@ def make_decoder(
             it, M, done, est, conv, prior, norm_llr = state
             active = ~done
 
+            if quantize_msgs is not None:
+                M = quantize_msgs(M)
             E = check_node_update(M)
             E = jnp.where(slot_valid, E, jnp.zeros((), dtype))
 
