@@ -95,7 +95,7 @@ def main() -> int:
     # layered pass: every family representative (or all with --layered-all)
     layered_targets = [
         "wimax_2304_0.5.alist.txt", "wimax_576_0.5.alist.txt",
-        "wimax_2304_0.83.alist.txt", "wifi_1944_r05.alist.txt",
+        "wimax_2304_0.83.alist.txt", "wifi_648_r083.alist.txt",
         "wigig_R05_N672_K336.alist.txt", "CCSDS_ldpc_n512_k256.alist.txt",
         "CCSDS_ldpc_n32_k16.alist.txt", "Tanner_155_64.alist.txt",
         "LDPC_N336_K196_ITU_G.h.alist.txt",
