@@ -222,6 +222,20 @@ def options_from_args(args: argparse.Namespace) -> SimOptions:
     )
 
 
+def _parse_mesh_axes(spec: str) -> dict[str, int]:
+    """'snr=2,batch=-1' -> {'snr': 2, 'batch': -1} (-1 = remaining devices)."""
+    axes: dict[str, int] = {}
+    for part in spec.split(","):
+        name, _, size = part.partition("=")
+        try:
+            axes[name.strip()] = int(size)
+        except ValueError:
+            raise SystemExit(
+                f"Error: bad --mesh part {part!r}; expected axis=size"
+            )
+    return axes
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -304,17 +318,17 @@ def main(argv: list[str] | None = None) -> int:
             if args.mesh:
                 from ldpc_tpu.parallel.mesh import make_mesh
 
-                axes = {}
-                for part in args.mesh.split(","):
-                    name, _, size = part.partition("=")
-                    axes[name.strip()] = int(size)
+                axes = _parse_mesh_axes(args.mesh)
                 if "snr" in axes:
                     say("Note: adaptive mode evaluates SNR points sequentially "
                         "(parameters depend on the previous point); the 'snr' "
                         "mesh axis is folded into 'batch'")
-                    total = 1
-                    for v in axes.values():
-                        total *= v
+                    if any(v == -1 for v in axes.values()):
+                        total = -1  # wildcard folds to "all devices"
+                    else:
+                        total = 1
+                        for v in axes.values():
+                            total *= v
                     axes = {"batch": total}
                 mesh = make_mesh(axes)
                 say(f"Adaptive executors shard the codeword batch over mesh "
@@ -334,11 +348,7 @@ def main(argv: list[str] | None = None) -> int:
             from ldpc_tpu.parallel.mesh import make_mesh
             from ldpc_tpu.sim.runner import run_simulation_parallel
 
-            axes = {}
-            for part in args.mesh.split(","):
-                name, _, size = part.partition("=")
-                axes[name.strip()] = int(size)
-            mesh = make_mesh(axes)
+            mesh = make_mesh(_parse_mesh_axes(args.mesh))
             if "snr" in mesh.axis_names:
                 sim_result = run_simulation_parallel(opts, code=code, mesh=mesh)
             else:

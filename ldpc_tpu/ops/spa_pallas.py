@@ -412,8 +412,7 @@ def qc_kernel_fits(qc: QCLayout, schedule: str = "flooding",
     return qc_vmem_bytes(qc, schedule, tile_b, extra_blocks) <= VMEM_BUDGET
 
 
-def pick_tile_b(qc: QCLayout, vmem_budget: int = VMEM_BUDGET,
-                schedule: str = "flooding") -> int:
+def pick_tile_b(qc: QCLayout, schedule: str = "flooding") -> int:
     """Lane tile for the QC kernel: always 128.
 
     Lanes pad to the 128-wide vregs, so smaller tiles save nothing; larger

@@ -257,6 +257,7 @@ class PointExecutor:
         noise_source = "hw" if on_tpu else "input"
         fused_eligible = (
             opts.fused != "off"
+            and opts.kernel in ("auto", "pallas")  # --kernel xla must win
             and code.qc is not None
             and opts.check_rule == "exact"
             and self.graph in ("orig", "original")
@@ -483,7 +484,12 @@ class PointExecutor:
             and remaining >= self.batch * 2
             and not (target_errors and stats.fer_frames >= target_errors)
         ):
+            # round the group size DOWN to a power of two: n_steps is a
+            # static jit argument, so each distinct n compiles its own
+            # scan-of-n program -- this bounds the program count at
+            # log2(max_chunk) while the single-step loop absorbs the tail
             n = min(remaining // self.batch, max_chunk)
+            n = 1 << (n.bit_length() - 1)
             packed = chunk_fn(key_point, jnp.int32(batch_idx), consts, n)
             if target_errors:
                 counters, iters = unpack_counters(packed)
@@ -633,6 +639,9 @@ def sweep_fingerprint(config: SimulationConfig) -> tuple:
         config.decode_graph, config.check_rule, config.noise_model,
         config.seed, config.shorten, config.puncture, config.schedule,
         config.s_param, config.exact_ber, config.adaptive, config.fused,
+        # batch shapes the key->codeword stream (keys fold per batch index),
+        # so a different batch size is a DIFFERENT sweep, not a resumable one
+        config.batch,
     )
 
 
@@ -656,16 +665,20 @@ def load_checkpoint(
 
 
 def _parallel_ckpt_save(
-    path: str, fp, batch_idx: int, remaining: int, stats_list, total_iters: int
+    path: str, fp, batch_idx: int, remaining: int, stats_list, total_iters: int,
+    device_batch: int,
 ) -> None:
     """Atomic mid-sweep checkpoint for the parallel runner: raw per-point
     counters + stream position. PRNG keys fold by (point, batch) index, so a
-    resumed sweep is BIT-IDENTICAL to an uninterrupted one."""
+    resumed sweep is BIT-IDENTICAL to an uninterrupted one -- provided the
+    RESOLVED device batch matches (batch=0 auto-resolves per device count),
+    hence it is recorded and checked alongside the fingerprint."""
     import json
 
     payload = {
         "parallel_sweep": 1,
         "fingerprint": fp,
+        "device_batch": device_batch,
         "batch_idx": batch_idx,
         "remaining": remaining,
         "total_iters_run": total_iters,
@@ -683,7 +696,7 @@ def _parallel_ckpt_save(
     os.replace(tmp, path)
 
 
-def _parallel_ckpt_load(path: str, fp, n_points: int, say):
+def _parallel_ckpt_load(path: str, fp, n_points: int, say, device_batch: int):
     """Load a parallel-sweep checkpoint; None when absent/foreign."""
     import json
     import os
@@ -696,7 +709,8 @@ def _parallel_ckpt_load(path: str, fp, n_points: int, say):
         say(f"Checkpoint {path} is not a parallel-sweep checkpoint; "
             "starting fresh.")
         return None
-    if d["fingerprint"] != fp or len(d["counters"]) != n_points:
+    if (d["fingerprint"] != fp or len(d["counters"]) != n_points
+            or d.get("device_batch") != device_batch):
         say(f"Checkpoint {path} belongs to a different sweep configuration; "
             "starting fresh.")
         return None
@@ -881,7 +895,8 @@ def run_simulation_parallel(
             _json.dumps(sweep_fingerprint(make_sim_config(opts, code)))
         )
         if opts.resume:
-            prior = _parallel_ckpt_load(opts.checkpoint, ckpt_fp, Sp, say)
+            prior = _parallel_ckpt_load(opts.checkpoint, ckpt_fp, Sp, say,
+                                        executor.batch)
             if prior is not None:
                 batch_idx, remaining, executor.total_iters_run, stats_list = prior
     with _profiled_sweep(opts.profile):
@@ -903,7 +918,7 @@ def run_simulation_parallel(
             if opts.checkpoint:
                 _parallel_ckpt_save(
                     opts.checkpoint, ckpt_fp, batch_idx, remaining,
-                    stats_list, executor.total_iters_run,
+                    stats_list, executor.total_iters_run, executor.batch,
                 )
             # early stop once EVERY real point has its frame-error quota (the
             # batch applies to all points at once; the slowest point governs)

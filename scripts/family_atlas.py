@@ -107,7 +107,10 @@ def main() -> int:
         for cname, pts in sorted(codes.items()):
             pts = sorted(pts, key=lambda r: r["snr_db"])
             xs = [p["snr_db"] for p in pts]
-            ys = [max(p["fer"], 0) for p in pts]
+            # zero-FER points (no failures observed) clamp to the one-failure
+            # floor 1/blocks so semilogy keeps the tail visible instead of
+            # silently dropping non-positive values
+            ys = [max(p["fer"], 1.0 / max(p["blocks"], 1)) for p in pts]
             ax.semilogy(xs, ys, marker="o", markersize=3, linewidth=1,
                         label=cname.replace(".alist.txt", ""))
         ax.set_xlabel("Eb/N0 (dB)")
