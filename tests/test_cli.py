@@ -82,3 +82,14 @@ def test_target_errors_stops_early():
     ex2 = PointExecutor(code, opts_off)
     stats2 = ex2.run_point(1.5, 512, jax.random.key(0), 0)
     assert stats2.blocks == 512
+
+
+def test_parse_mesh_axes():
+    from ldpc_tpu.cli import _parse_mesh_axes
+
+    assert _parse_mesh_axes("snr=2,batch=-1") == {"snr": 2, "batch": -1}
+    assert _parse_mesh_axes("batch=8") == {"batch": 8}
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="bad --mesh"):
+        _parse_mesh_axes("snr=two")

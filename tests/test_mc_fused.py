@@ -223,6 +223,14 @@ class TestRunnerFusedPath:
             single.fer_frames, single.conv_iters_sum, single.conv_count)
         assert abs(chunked.norm_llr_sum - single.norm_llr_sum) < 1e-4
 
+    def test_kernel_xla_beats_fused_auto(self, wimax_code):
+        """--kernel xla must win over fused auto-selection (review fix)."""
+        from ldpc_tpu.sim.runner import PointExecutor
+
+        ex = PointExecutor(wimax_code, self._opts(fused="auto", kernel="xla"))
+        assert not ex.kernel_used.startswith("pallas+fused")
+        assert ex.kernel_used.startswith("xla")
+
     def test_fused_on_rejects_ineligible(self, wimax_code):
         from ldpc_tpu.sim.runner import PointExecutor
 
