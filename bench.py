@@ -116,5 +116,20 @@ def main() -> int:
     return 0
 
 
+def main_with_retry() -> int:
+    """One retry for transient remote-TPU runtime faults.
+
+    The tunnel occasionally surfaces FAILED_PRECONDITION / INTERNAL errors
+    unrelated to the program (observed in-session); a fresh attempt in the
+    same process re-dispatches against a recovered backend."""
+    try:
+        return main()
+    except Exception as e:  # noqa: BLE001 - deliberate single retry
+        print(f"# bench attempt 1 failed ({type(e).__name__}: {e}); "
+              "retrying once", file=sys.stderr)
+        time.sleep(10)
+        return main()
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main_with_retry())
