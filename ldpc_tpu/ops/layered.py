@@ -114,16 +114,22 @@ def make_qc_layered_decoder(
     def unroll(x, s):
         return jnp.roll(x, s, axis=-1)
 
-    def decode(llr: jax.Array) -> DecodeResult:
+    def decode(llr: jax.Array, skip: jax.Array | None = None) -> DecodeResult:
         llr = -llr.astype(jnp.float32)  # exact rule: log(p0/p1) domain
         B = llr.shape[0]
         L0 = llr.reshape(B, nb, Z)
 
+        # skip=True starts every codeword done: the while loop exits before
+        # iteration 0 (see ldpc_tpu.ops.spa.make_decoder)
+        done0 = (
+            jnp.zeros((B,), bool) if skip is None
+            else jnp.broadcast_to(jnp.asarray(skip, bool), (B,))
+        )
         init = (
             jnp.int32(0),
             L0,
             jnp.zeros((B, mb, dcb, Z), jnp.float32),  # E
-            jnp.zeros((B,), bool),  # done
+            done0,  # done
             jnp.zeros((B, n), jnp.uint8),  # est
             jnp.full((B,), -1, jnp.int32),  # conv_iter
             L0,  # prior posterior

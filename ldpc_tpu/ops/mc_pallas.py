@@ -119,12 +119,15 @@ def make_mc_decoder(
     interpret: bool = False,
     debug_llr: bool = False,
 ):
-    """Build ``mc_step(wT, consts_vec, seeds[, raw]) -> BlockStats-like``.
+    """Build ``mc_step(wT, consts_vec, seeds[, raw][, skip]) -> BlockStats-like``.
 
     ``wT``: f32 [n, B] encoded codeword bits in the decode domain (0/1),
     codewords on the minor axis. ``consts_vec``: f32 [8] from
     :func:`consts_vector`. ``seeds``: int32 [2] PRNG seed (hw source).
     ``raw``: uint32 [draws, n, B] pre-drawn words (input source).
+    ``skip``: optional int32 scalar; nonzero makes the decode loop exit
+    before iteration 0 (a vmapped SNR sweep stops paying for points that
+    reached their error quota -- the caller discards skipped outputs).
 
     Returns per-codeword arrays ``(err_bits, ok, conv_iter, norm_llr,
     iters)`` with shapes int32/bool/int32/f32/int32 [B]; ``err_bits`` counts
@@ -203,7 +206,7 @@ def make_mc_decoder(
                            + (sym + n1) * (1.0 - c("p"))) * c("l_c3")
                 llr_ref[bj] = -llr
 
-    def kernel(consts_ref, seeds_ref, w_ref, mask_ref, *refs):
+    def kernel(consts_ref, seeds_ref, skip_ref, w_ref, mask_ref, *refs):
         if hw:
             err_ref, ok_ref, conv_ref, norm_ref, iters_ref, \
                 E_ref, L_ref, prior_ref, llr_ref = refs
@@ -250,7 +253,8 @@ def make_mc_decoder(
             return mask_ref[pl.ds(j * Z, Z), :]
 
         it, done_f, conv, norm = loop(
-            lambda j: llr_ref[j], mask_blk, E_ref, L_ref, prior_ref
+            lambda j: llr_ref[j], mask_blk, E_ref, L_ref, prior_ref,
+            skip_f=skip_ref[0].astype(jnp.float32),
         )
 
         # ---- counters: info-bit mismatches vs the transmitted word ----
@@ -270,22 +274,28 @@ def make_mc_decoder(
     mask_const = jnp.asarray(info_mask)
 
     def mc_step(wT: jax.Array, consts_vec: jax.Array, seeds: jax.Array,
-                raw: jax.Array | None = None):
+                raw: jax.Array | None = None,
+                skip: jax.Array | None = None):
         B = wT.shape[1]
         Bp = -(-B // tile_b) * tile_b
         w = wT.astype(jnp.float32)
         if Bp != B:
             w = jnp.pad(w, ((0, 0), (0, Bp - B)))
         grid = (Bp // tile_b,)
+        skip_arr = (
+            jnp.zeros((1,), jnp.int32) if skip is None
+            else jnp.asarray(skip, jnp.int32).reshape((1,))
+        )
 
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # consts [8]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seeds [2]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # skip [1]
             pl.BlockSpec((n, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ]
         args = [consts_vec.astype(jnp.float32), seeds.astype(jnp.int32),
-                w, mask_const]
+                skip_arr, w, mask_const]
         if not hw:
             if raw is None:
                 raise ValueError("noise_source='input' needs the raw words")

@@ -209,16 +209,24 @@ def make_decoder(
     # keeps the reference's log(p1/p0) messages and its z^1 = (L >= 0) rule.
     conv_sign = -1.0 if rule == "exact" else 1.0
 
-    def decode(llr: jax.Array) -> DecodeResult:
+    def decode(llr: jax.Array, skip: jax.Array | None = None) -> DecodeResult:
         llr = conv_sign * llr.astype(dtype)
         B = llr.shape[0]
         llr_pad = jnp.pad(llr, ((0, 0), (0, 1)))  # sentinel var n -> 0
         M0 = jnp.take(llr_pad, chk_var, axis=1)  # [B, m, dc]
 
+        # ``skip`` (traced bool scalar): start with every codeword marked
+        # done, so the while loop exits before iteration 0 -- lets a vmapped
+        # sweep stop paying for SNR points that already reached their error
+        # quota (outputs of a skipped call are discarded by the caller)
+        done0 = (
+            jnp.zeros((B,), bool) if skip is None
+            else jnp.broadcast_to(jnp.asarray(skip, bool), (B,))
+        )
         init = (
             jnp.int32(0),
             M0,
-            jnp.zeros((B,), bool),  # done
+            done0,  # done
             jnp.zeros((B, n), jnp.uint8),  # est
             jnp.full((B,), -1, jnp.int32),  # conv_iter
             llr,  # prior posterior (starts at channel LLRs, spa_decoder.py:95)
@@ -304,7 +312,7 @@ def make_bitflip_decoder(layout, info_pos: np.ndarray, max_iterations: int):
     var_chk_np[valid] = edge_chk[layout.var_edge[valid]]
     var_chk = jnp.asarray(var_chk_np)  # [n, dv]
 
-    def decode(llr: jax.Array) -> DecodeResult:
+    def decode(llr: jax.Array, skip: jax.Array | None = None) -> DecodeResult:
         B = llr.shape[0]
         est0 = (llr >= 0).astype(jnp.uint8)
 
@@ -315,10 +323,14 @@ def make_bitflip_decoder(layout, info_pos: np.ndarray, max_iterations: int):
                 % 2
             )
 
+        done0 = (
+            jnp.zeros((B,), bool) if skip is None
+            else jnp.broadcast_to(jnp.asarray(skip, bool), (B,))
+        )
         init = (
             jnp.int32(0),
             est0,
-            jnp.zeros((B,), bool),
+            done0,
             jnp.full((B,), -1, jnp.int32),
         )
 

@@ -238,7 +238,7 @@ def make_decode_loop(
 
     body_fn = body_flooding if schedule == "flooding" else body_layered
 
-    def run(llr_blk, mask_blk, E_ref, L_ref, prior_ref):
+    def run(llr_blk, mask_blk, E_ref, L_ref, prior_ref, skip_f=None):
         # init: posterior = channel LLRs, extrinsics = 0
         for bj in range(nb):
             L_ref[bj] = llr_blk(bj)
@@ -256,9 +256,17 @@ def make_decode_loop(
             it, done_f, _, _ = carry
             return (it < max_iterations) & (jnp.min(done_f) < 0.5)
 
+        # ``skip_f`` (f32 scalar, 0/1): 1 pre-marks every lane done, so the
+        # while loop exits before iteration 0 -- a vmapped SNR sweep stops
+        # paying for points that reached their error quota (the caller
+        # discards a skipped tile's outputs)
+        done0 = (
+            jnp.zeros((1, TB), jnp.float32) if skip_f is None
+            else jnp.full((1, TB), 1.0, jnp.float32) * skip_f
+        )
         init = (
             jnp.int32(0),
-            jnp.zeros((1, TB), jnp.float32),
+            done0,
             jnp.full((1, TB), -1, jnp.int32),
             jnp.zeros((1, TB), jnp.float32),
         )
@@ -310,8 +318,8 @@ def make_qc_decoder(
         tile_b=tile_b, schedule=schedule, k=k,
     )
 
-    def kernel(llr_ref, mask_ref, est_ref, ok_ref, conv_ref, norm_ref,
-               iters_ref, E_ref, L_ref, prior_ref):
+    def kernel(skip_ref, llr_ref, mask_ref, est_ref, ok_ref, conv_ref,
+               norm_ref, iters_ref, E_ref, L_ref, prior_ref):
         TB = tile_b
 
         def llr_blk(j):
@@ -320,8 +328,10 @@ def make_qc_decoder(
         def mask_blk(j):
             return mask_ref[pl.ds(j * Z, Z), :]
 
-        it, done_f, conv, norm = loop(llr_blk, mask_blk, E_ref, L_ref,
-                                      prior_ref)
+        it, done_f, conv, norm = loop(
+            llr_blk, mask_blk, E_ref, L_ref, prior_ref,
+            skip_f=skip_ref[0].astype(jnp.float32),
+        )
         # hard decisions from the final posteriors (frozen per lane at its
         # converging iteration -- see make_decode_loop)
         for bj in range(nb):
@@ -335,7 +345,7 @@ def make_qc_decoder(
 
     mask_const = jnp.asarray(info_mask)
 
-    def decode(llr: jax.Array) -> DecodeResult:
+    def decode(llr: jax.Array, skip: jax.Array | None = None) -> DecodeResult:
         B = llr.shape[0]
         Bp = -(-B // tile_b) * tile_b
         # negate into the log(p0/p1) domain (exact rule); lanes = codewords
@@ -343,10 +353,15 @@ def make_qc_decoder(
         if Bp != B:
             llr_t = jnp.pad(llr_t, ((0, 0), (0, Bp - B)))
         grid = (Bp // tile_b,)
+        skip_arr = (
+            jnp.zeros((1,), jnp.int32) if skip is None
+            else jnp.asarray(skip, jnp.int32).reshape((1,))
+        )
 
         est_f, ok_f, conv, norm, iters = grid_kernel(
             grid=grid,
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # skip [1]
                 pl.BlockSpec((n, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
                 pl.BlockSpec((n, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
             ],
@@ -369,7 +384,7 @@ def make_qc_decoder(
                 pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # L
                 pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # prior
             ],
-        )(llr_t, mask_const)
+        )(skip_arr, llr_t, mask_const)
 
         est = est_f.T[:B].astype(jnp.uint8)
         return DecodeResult(

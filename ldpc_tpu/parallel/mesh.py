@@ -52,11 +52,14 @@ def make_mesh(
 def sharded_sweep_step(executor_step, mesh: Mesh, snr_axis: str = "snr"):
     """Vectorize a point step over a sharded SNR axis.
 
-    ``executor_step(key, consts) -> (BlockStats, iters)`` becomes
-    ``sweep(keys[S], consts_stack[S]) -> (BlockStats[S], iters[S])`` with the
-    S axis sharded over ``snr_axis`` -- every SNR point of a sweep runs
-    concurrently on its own mesh slice, while each point's codeword batch
-    stays sharded over the remaining axes.
+    ``executor_step(key, consts, skip) -> (BlockStats, iters)`` becomes
+    ``sweep(keys[S], consts_stack[S], skips[S]) -> (BlockStats[S],
+    iters[S])`` with the S axis sharded over ``snr_axis`` -- every SNR point
+    of a sweep runs concurrently on its own mesh slice, while each point's
+    codeword batch stays sharded over the remaining axes. ``skips`` (int32,
+    nonzero = skip) lets the driver stop paying for points that already
+    reached their error quota: a skipped point's decode loop exits before
+    iteration 0 and its outputs are discarded by the caller.
     """
     from ldpc_tpu.ops.metrics import BlockStats
 
@@ -67,9 +70,9 @@ def sharded_sweep_step(executor_step, mesh: Mesh, snr_axis: str = "snr"):
     stats_spec = NamedSharding(mesh, P(snr_axis, batch_axes or None))
     iters_spec = NamedSharding(mesh, P(snr_axis))
 
-    def sweep(keys, consts_stack):
+    def sweep(keys, consts_stack, skips):
         keys = jax.lax.with_sharding_constraint(keys, key_spec)
-        return vstep(keys, consts_stack)
+        return vstep(keys, consts_stack, skips)
 
     out_shardings = (
         BlockStats(stats_spec, stats_spec, stats_spec, stats_spec),

@@ -320,7 +320,8 @@ class PointExecutor:
             draws = DRAWS_PER_BIT[opts.mode]
             n = code.n
 
-            def fused_step(key: jax.Array, consts: ChannelConsts):
+            def fused_step(key: jax.Array, consts: ChannelConsts,
+                           skip: jax.Array | None = None):
                 k_u, k_noise = jax.random.split(key)
                 u = random_info_bits(k_u, batch, k)
                 wT = encode_T(u)
@@ -329,13 +330,14 @@ class PointExecutor:
                     seeds = jax.lax.bitcast_convert_type(
                         jax.random.bits(k_noise, (2,), jnp.uint32), jnp.int32
                     )
-                    err, ok, conv, norm, it_l = mc(wT, cv, seeds)
+                    err, ok, conv, norm, it_l = mc(wT, cv, seeds, skip=skip)
                 else:
                     seeds = jnp.zeros((2,), jnp.int32)
                     raw = jax.random.bits(
                         k_noise, (draws, n, batch), jnp.uint32
                     )
-                    err, ok, conv, norm, it_l = mc(wT, cv, seeds, raw)
+                    err, ok, conv, norm, it_l = mc(wT, cv, seeds, raw,
+                                                   skip=skip)
                 if not exact_ber:
                     # reference: bits counted only when decode failed
                     # (main.py:134); in-kernel err counts every frame
@@ -415,7 +417,8 @@ class PointExecutor:
         )
 
         def make_step(dec):
-            def step(key: jax.Array, consts: ChannelConsts):
+            def step(key: jax.Array, consts: ChannelConsts,
+                     skip: jax.Array | None = None):
                 k_u, k_il, k_ch = jax.random.split(key, 3)
                 u = random_info_bits(k_u, batch, k)
                 if S:
@@ -430,7 +433,7 @@ class PointExecutor:
                     llr = llr * _llr_punct
                 if S:  # shortened info bits are known zeros
                     llr = llr * (1.0 - _llr_short) - KNOWN_LLR * _llr_short
-                res = dec(llr)
+                res = dec(llr, skip=skip) if skip is not None else dec(llr)
                 # NOTE: per-codeword stats stay unreduced here -- reducing
                 # while-loop outputs to scalars in the same XLA program costs
                 # minutes of compile time; the reduction runs in _reduce below.
@@ -874,10 +877,10 @@ def run_simulation_parallel(
 
     if snr_axis in mesh.axis_names:
         sweep = sharded_sweep_step(
-            lambda k, c: executor._step(k, c), mesh, snr_axis
+            lambda k, c, s: executor._step(k, c, s), mesh, snr_axis
         )
     else:
-        sweep = jax.jit(jax.vmap(lambda k, c: executor._step(k, c)))
+        sweep = jax.jit(jax.vmap(lambda k, c, s: executor._step(k, c, s)))
     reduce_v = jax.jit(jax.vmap(executor._reduce, in_axes=(0, None)))
 
     say(f"Evaluating {S} SNR points in parallel on mesh "
@@ -899,20 +902,44 @@ def run_simulation_parallel(
                                         executor.batch)
             if prior is not None:
                 batch_idx, remaining, executor.total_iters_run, stats_list = prior
+    def finished_mask() -> np.ndarray:
+        """Points that stop decoding: padding replicas always; real points
+        once they reach the --target-errors frame quota (the sequential
+        runner's per-point early stop, applied per point here instead of
+        letting finished points burn iterations until the slowest one is
+        done). Derived from stats_list, so checkpoint resume recomputes it.
+        """
+        f = np.zeros(Sp, dtype=bool)
+        f[S:] = True
+        if opts.target_errors:
+            for s in range(S):
+                f[s] = stats_list[s].fer_frames >= opts.target_errors
+        return f
+
     with _profiled_sweep(opts.profile):
         while remaining > 0:
+            finished = finished_mask()
+            # stop once EVERY real point has its frame-error quota (also
+            # catches a resume from an already-finished checkpoint)
+            if opts.target_errors and finished[:S].all():
+                break
             take = min(remaining, executor.batch)
             keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
                 point_keys, batch_idx
             )
-            stats, iters_run = sweep(keys, consts_stack)
+            skips = jnp.asarray(finished.astype(np.int32))
+            stats, iters_run = sweep(keys, consts_stack, skips)
             counters = reduce_v(stats, jnp.int32(take))
             host = jax.tree.map(np.asarray, counters)
             for s in range(Sp):
-                stats_list[s].add(jax.tree.map(lambda x: x[s], host))
-            # sum per-point iteration counts (same meaning as the sequential
-            # runner's accumulation, one count per SNR point per dispatch)
-            executor.total_iters_run += int(np.sum(np.asarray(iters_run)))
+                if not finished[s]:
+                    stats_list[s].add(jax.tree.map(lambda x: x[s], host))
+            # sum per-point iteration counts over the points still decoding
+            # (same meaning as the sequential runner's accumulation, one
+            # count per dispatched SNR point)
+            executor.total_iters_run += int(
+                np.sum(np.asarray(iters_run)[~finished])
+            )
             remaining -= take
             batch_idx += 1
             if opts.checkpoint:
@@ -920,12 +947,6 @@ def run_simulation_parallel(
                     opts.checkpoint, ckpt_fp, batch_idx, remaining,
                     stats_list, executor.total_iters_run, executor.batch,
                 )
-            # early stop once EVERY real point has its frame-error quota (the
-            # batch applies to all points at once; the slowest point governs)
-            if opts.target_errors and all(
-                stats_list[s].fer_frames >= opts.target_errors for s in range(S)
-            ):
-                break
 
     snr_points = [
         build_point_result(snrs[s], stats_list[s], opts, executor.k_active)

@@ -214,3 +214,33 @@ def test_minsum_degree_one_check_stays_finite():
     r = dec(llr)
     assert np.isfinite(np.asarray(r.norm_llr)).all()
     assert np.asarray(r.est).max() <= 1  # decoded bits are bits, not NaN junk
+
+
+def test_skip_exits_before_first_iteration(small_code):
+    """decode(llr, skip=True) must run zero iterations (the hook a vmapped
+    SNR sweep uses to stop paying for points that reached their error
+    quota); skip=False must match a plain call exactly."""
+    from ldpc_tpu.ops.layered import make_qc_layered_decoder
+
+    _, llr = _random_llrs(small_code, 16, seed=3)
+    llr = jnp.asarray(llr, jnp.float32)
+    layout = small_code.layout("orig")
+    info_pos = small_code.standard_encode_spec.info_pos("orig")
+
+    dec = make_decoder(layout, info_pos, 8, "spa", rule="exact")
+    skipped = dec(llr, skip=jnp.bool_(True))
+    assert int(skipped.iters_run) == 0
+    assert bool(jnp.all(skipped.ok))  # pre-marked done; caller discards
+    plain = dec(llr)
+    unskipped = dec(llr, skip=jnp.bool_(False))
+    assert bool(jnp.all(plain.est == unskipped.est))
+    assert int(plain.iters_run) == int(unskipped.iters_run)
+
+    qc = small_code.qc
+    if qc is not None:
+        ldec = make_qc_layered_decoder(qc, info_pos, 8, "spa")
+        lskip = ldec(llr, skip=jnp.bool_(True))
+        assert int(lskip.iters_run) == 0
+        lplain = ldec(llr)
+        lun = ldec(llr, skip=jnp.bool_(False))
+        assert bool(jnp.all(lplain.est == lun.est))
