@@ -16,6 +16,10 @@ The per-SNR scale factors are *runtime scalars* (ChannelConsts) so an SNR
 sweep reuses one compiled step instead of recompiling per point; only the
 mode/modulation/noise-model are compile-time static.
 
+True Gray M-QAM (4/16/64, ldpc_tpu.ops.modem) works under all three modes:
+mode 2 jams whole complex symbols and demaps with the matched per-symbol
+noise variance; mode 3 adds the reference's barrage noise n1 + p*n2.
+
 Noise model quirk: the reference deliberately replicates a C++ bug in mode 1,
 drawing noise with sigma**2 passed as the *standard deviation*
 (`channel.py:55-68`), which makes its nominal SNR axis much cleaner than
@@ -116,14 +120,15 @@ def make_channel_fn(mode: int, modulation: int = 1, n: int | None = None):
 
     ``modulation``: 1 = BPSK, 2 = the reference's +-0.7 QPSK proxy
     (channel.py:47-51), 4/16/64 = true Gray-mapped square QAM with max-log
-    per-bit LLRs (ldpc_tpu.ops.modem; AWGN mode 1 only, requires ``n``).
+    per-bit LLRs (ldpc_tpu.ops.modem; requires ``n``). QAM supports all
+    three interference modes: mode 2 jams whole symbols (both I and Q) with
+    probability p and demaps with the per-symbol matched noise variance --
+    the complex-symbol analogue of the reference's jam-state-aware L_c2/L_c1
+    selection (channel.py:88-95); mode 3 follows the reference's barrage
+    structure y = s + n1 + p*n2 (channel.py:97-100), i.e. AWGN with
+    effective per-dimension variance (sigma1^2 + p^2 sigma2^2)/bps.
     """
     if modulation in (4, 16, 64):
-        if mode != 1:
-            raise ValueError(
-                f"QAM-{modulation} supports only channel mode 1 (AWGN); "
-                f"modes 2/3 define BPSK-specific LLR scale factors"
-            )
         if n is None:
             raise ValueError("QAM channels need the codeword length n")
         # NOTE: the QAM path always uses exact noise physics; the legacy
@@ -136,18 +141,57 @@ def make_channel_fn(mode: int, modulation: int = 1, n: int | None = None):
         bps, _, _ = qam_spec(modulation)
         modulate, demap = make_qam_modem(modulation, n)
 
-        def channel(key, bits, c: ChannelConsts):
-            kI, kQ = jax.random.split(key)
-            yI, yQ = modulate(bits)
-            # per-dimension variance N0/2; Es/N0 = speed*bps*snr folded into
-            # sigma1 = 1/sqrt(2*speed*snr): var = sigma1^2 / bps
-            noise_var = (c.sigma1**2) / bps
-            std = jnp.sqrt(noise_var)
-            yI = yI + std * jax.random.normal(kI, yI.shape, dtype=jnp.float32)
-            yQ = yQ + std * jax.random.normal(kQ, yQ.shape, dtype=jnp.float32)
-            return demap(yI, yQ, noise_var)
+        if mode == 1:
 
-        return channel
+            def channel(key, bits, c: ChannelConsts):
+                kI, kQ = jax.random.split(key)
+                yI, yQ = modulate(bits)
+                # per-dimension variance N0/2; Es/N0 = speed*bps*snr folded
+                # into sigma1 = 1/sqrt(2*speed*snr): var = sigma1^2 / bps
+                noise_var = (c.sigma1**2) / bps
+                std = jnp.sqrt(noise_var)
+                yI = yI + std * jax.random.normal(kI, yI.shape, dtype=jnp.float32)
+                yQ = yQ + std * jax.random.normal(kQ, yQ.shape, dtype=jnp.float32)
+                return demap(yI, yQ, noise_var)
+
+            return channel
+
+        if mode == 2:
+
+            def channel(key, bits, c: ChannelConsts):
+                kI, kQ, kJ = jax.random.split(key, 3)
+                yI, yQ = modulate(bits)
+                var1 = (c.sigma1**2) / bps
+                var2 = (c.sigma2**2) / bps  # sigma2 embeds the 1/p duty cycle
+                # a partial-band jammer hits the whole complex symbol: one
+                # Bernoulli(p) draw per symbol, shared by the I and Q dims
+                jam = (
+                    jax.random.uniform(kJ, yI.shape, dtype=jnp.float32) < c.p
+                ).astype(jnp.float32)
+                noise_var = var1 + jam * var2  # [B, n_sym]
+                std = jnp.sqrt(noise_var)
+                yI = yI + std * jax.random.normal(kI, yI.shape, dtype=jnp.float32)
+                yQ = yQ + std * jax.random.normal(kQ, yQ.shape, dtype=jnp.float32)
+                # matched per-symbol variance = the jam-state-aware receiver
+                return demap(yI, yQ, noise_var)
+
+            return channel
+
+        if mode == 3:
+
+            def channel(key, bits, c: ChannelConsts):
+                kI, kQ = jax.random.split(key)
+                yI, yQ = modulate(bits)
+                # reference barrage: y = s + n1 + p*n2 (channel.py:97-100)
+                noise_var = (c.sigma1**2 + (c.p**2) * c.sigma2**2) / bps
+                std = jnp.sqrt(noise_var)
+                yI = yI + std * jax.random.normal(kI, yI.shape, dtype=jnp.float32)
+                yQ = yQ + std * jax.random.normal(kQ, yQ.shape, dtype=jnp.float32)
+                return demap(yI, yQ, noise_var)
+
+            return channel
+
+        raise ValueError(f"Unknown channel mode: {mode}")
 
     if modulation not in (1, 2):
         raise ValueError(

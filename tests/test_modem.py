@@ -89,9 +89,84 @@ def test_coded_16qam_end_to_end():
     assert stats_low.fer_frames > 100
 
 
-def test_qam_rejects_modes_2_3():
-    with pytest.raises(ValueError, match="mode 1"):
-        make_channel_fn(2, 16, n=96)
+def _qam_ber_theory(order: int, var_dim: float) -> float:
+    """Gray M-QAM BER for per-dimension noise variance ``var_dim`` (unit Es)."""
+    bps = int(math.log2(order))
+    m_sq = int(math.sqrt(order))
+    scale = math.sqrt(3.0 / (2.0 * (m_sq**2 - 1)))  # qam_spec axis scale
+    q = _q(scale / math.sqrt(var_dim))  # nearest-neighbour distance 2*scale
+    if order == 4:
+        return q
+    return (4.0 / bps) * (1.0 - 1.0 / m_sq) * q
+
+
+def test_qam_mode3_uncoded_ber_matches_theory():
+    """Barrage jamming (mode 3) on QAM is AWGN with effective per-dimension
+    variance (sigma1^2 + p^2 sigma2^2)/bps -- the reference's y = s+n1+p*n2
+    structure (channel.py:97-100) -- so uncoded BER must follow the standard
+    Gray-QAM formula at that variance."""
+    n, order = 120_000, 16
+    bps = int(math.log2(order))
+    chan = make_channel_fn(3, order, n=n)
+    params = ChannelParams(
+        mode=3, modulation=order, snr_db=9.0, interference_snr_db=6.0,
+        p=0.3, speed=1.0, noise_model="exact",
+    )
+    consts = params.consts()
+    key = jax.random.key(5)
+    bits = jax.random.bernoulli(key, 0.5, (1, n)).astype(jnp.float32)
+    llr = chan(jax.random.fold_in(key, 1), bits, consts)
+    ber = float(jnp.mean((llr > 0) != (bits > 0.5)))
+
+    var_dim = (params.sigma1**2 + params.p**2 * params.sigma2**2) / bps
+    theory = _qam_ber_theory(order, var_dim)
+    assert ber == pytest.approx(theory, rel=0.15), (ber, theory)
+
+
+def test_qam_mode2_uncoded_ber_matches_mixture():
+    """Partial-band jamming (mode 2) with the matched per-symbol demapper:
+    uncoded BER must be the Bernoulli(p) mixture of the clean and jammed
+    AWGN BERs (the jam state hits whole symbols, as in the reference's
+    jam-state-aware L_c1/L_c2 selection, channel.py:88-95)."""
+    n, order = 240_000, 16
+    bps = int(math.log2(order))
+    chan = make_channel_fn(2, order, n=n)
+    params = ChannelParams(
+        mode=2, modulation=order, snr_db=10.0, interference_snr_db=3.0,
+        p=0.2, speed=1.0, noise_model="exact",
+    )
+    consts = params.consts()
+    key = jax.random.key(6)
+    bits = jax.random.bernoulli(key, 0.5, (1, n)).astype(jnp.float32)
+    llr = chan(jax.random.fold_in(key, 1), bits, consts)
+    ber = float(jnp.mean((llr > 0) != (bits > 0.5)))
+
+    var1 = params.sigma1**2 / bps
+    var2 = params.sigma2**2 / bps
+    theory = (1.0 - params.p) * _qam_ber_theory(order, var1) + (
+        params.p * _qam_ber_theory(order, var1 + var2)
+    )
+    assert ber == pytest.approx(theory, rel=0.15), (ber, theory)
+
+
+def test_coded_16qam_mode2_end_to_end():
+    """Coded smoke: 16-QAM under partial-band interference decodes cleanly
+    when the jammer is weak/rare and fails when it is strong/frequent."""
+    from ldpc_tpu.sim.config import SimOptions
+    from ldpc_tpu.sim.runner import PointExecutor, load_code
+
+    code = load_code("builtin:wimax_576_0.5.alist.txt")
+    opts = SimOptions(
+        matrix=code.name, blocks=64, iterations=15, ber=True, fer=True,
+        fidelity="exact", batch=64, seed=0, modulation=16, speed=0.5,
+        mode=2, interference_snr=8.0, p=0.1, quiet=True,
+    )
+    ex = PointExecutor(code, opts)
+    stats = ex.run_point(9.0, 64, jax.random.key(0), 0)
+    assert stats.ok_blocks == 64
+
+    stats_low = ex.run_point(0.0, 64, jax.random.key(0), 1)
+    assert stats_low.fer_frames > 50
 
 
 def test_qam_rejects_bad_length():
