@@ -121,11 +121,19 @@ def main_with_retry() -> int:
 
     The tunnel occasionally surfaces FAILED_PRECONDITION / INTERNAL errors
     unrelated to the program (observed in-session); a fresh attempt in the
-    same process re-dispatches against a recovered backend."""
+    same process re-dispatches against a recovered backend. Only those
+    transient runtime faults are retried -- deterministic failures (config
+    errors, code bugs) propagate with their full traceback immediately."""
+    import jax
+
     try:
         return main()
-    except Exception as e:  # noqa: BLE001 - deliberate single retry
-        print(f"# bench attempt 1 failed ({type(e).__name__}: {e}); "
+    except jax.errors.JaxRuntimeError as e:
+        msg = str(e)
+        if not any(s in msg for s in ("FAILED_PRECONDITION", "INTERNAL",
+                                      "UNAVAILABLE", "DEADLINE_EXCEEDED")):
+            raise
+        print(f"# bench attempt 1 failed ({type(e).__name__}: {msg}); "
               "retrying once", file=sys.stderr)
         time.sleep(10)
         return main()

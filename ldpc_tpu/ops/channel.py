@@ -141,57 +141,40 @@ def make_channel_fn(mode: int, modulation: int = 1, n: int | None = None):
         bps, _, _ = qam_spec(modulation)
         modulate, demap = make_qam_modem(modulation, n)
 
+        # Per-dimension noise variance N0/2; Es/N0 = speed*bps*snr is folded
+        # into sigma1 = 1/sqrt(2*speed*snr), so var = sigma^2 / bps. Only
+        # this variance differs between modes -- scalar for 1/3, per-symbol
+        # [B, n_sym] for the jam-state-aware mode 2.
         if mode == 1:
-
-            def channel(key, bits, c: ChannelConsts):
-                kI, kQ = jax.random.split(key)
-                yI, yQ = modulate(bits)
-                # per-dimension variance N0/2; Es/N0 = speed*bps*snr folded
-                # into sigma1 = 1/sqrt(2*speed*snr): var = sigma1^2 / bps
-                noise_var = (c.sigma1**2) / bps
-                std = jnp.sqrt(noise_var)
-                yI = yI + std * jax.random.normal(kI, yI.shape, dtype=jnp.float32)
-                yQ = yQ + std * jax.random.normal(kQ, yQ.shape, dtype=jnp.float32)
-                return demap(yI, yQ, noise_var)
-
-            return channel
-
-        if mode == 2:
-
-            def channel(key, bits, c: ChannelConsts):
-                kI, kQ, kJ = jax.random.split(key, 3)
-                yI, yQ = modulate(bits)
-                var1 = (c.sigma1**2) / bps
-                var2 = (c.sigma2**2) / bps  # sigma2 embeds the 1/p duty cycle
+            def noise_var_fn(kJ, c, shape):
+                return (c.sigma1**2) / bps
+        elif mode == 2:
+            def noise_var_fn(kJ, c, shape):
                 # a partial-band jammer hits the whole complex symbol: one
                 # Bernoulli(p) draw per symbol, shared by the I and Q dims
+                # (sigma2 embeds the 1/p duty cycle)
                 jam = (
-                    jax.random.uniform(kJ, yI.shape, dtype=jnp.float32) < c.p
+                    jax.random.uniform(kJ, shape, dtype=jnp.float32) < c.p
                 ).astype(jnp.float32)
-                noise_var = var1 + jam * var2  # [B, n_sym]
-                std = jnp.sqrt(noise_var)
-                yI = yI + std * jax.random.normal(kI, yI.shape, dtype=jnp.float32)
-                yQ = yQ + std * jax.random.normal(kQ, yQ.shape, dtype=jnp.float32)
-                # matched per-symbol variance = the jam-state-aware receiver
-                return demap(yI, yQ, noise_var)
-
-            return channel
-
-        if mode == 3:
-
-            def channel(key, bits, c: ChannelConsts):
-                kI, kQ = jax.random.split(key)
-                yI, yQ = modulate(bits)
+                return (c.sigma1**2 + jam * c.sigma2**2) / bps
+        elif mode == 3:
+            def noise_var_fn(kJ, c, shape):
                 # reference barrage: y = s + n1 + p*n2 (channel.py:97-100)
-                noise_var = (c.sigma1**2 + (c.p**2) * c.sigma2**2) / bps
-                std = jnp.sqrt(noise_var)
-                yI = yI + std * jax.random.normal(kI, yI.shape, dtype=jnp.float32)
-                yQ = yQ + std * jax.random.normal(kQ, yQ.shape, dtype=jnp.float32)
-                return demap(yI, yQ, noise_var)
+                return (c.sigma1**2 + (c.p**2) * c.sigma2**2) / bps
+        else:
+            raise ValueError(f"Unknown channel mode: {mode}")
 
-            return channel
+        def channel(key, bits, c: ChannelConsts):
+            kI, kQ, kJ = jax.random.split(key, 3)
+            yI, yQ = modulate(bits)
+            noise_var = noise_var_fn(kJ, c, yI.shape)
+            std = jnp.sqrt(noise_var)
+            yI = yI + std * jax.random.normal(kI, yI.shape, dtype=jnp.float32)
+            yQ = yQ + std * jax.random.normal(kQ, yQ.shape, dtype=jnp.float32)
+            # demap with the true (matched) variance the noise was drawn at
+            return demap(yI, yQ, noise_var)
 
-        raise ValueError(f"Unknown channel mode: {mode}")
+        return channel
 
     if modulation not in (1, 2):
         raise ValueError(

@@ -262,7 +262,7 @@ def make_decode_loop(
         # discards a skipped tile's outputs)
         done0 = (
             jnp.zeros((1, TB), jnp.float32) if skip_f is None
-            else jnp.full((1, TB), 1.0, jnp.float32) * skip_f
+            else jnp.broadcast_to(skip_f, (1, TB)).astype(jnp.float32)
         )
         init = (
             jnp.int32(0),

@@ -433,7 +433,7 @@ class PointExecutor:
                     llr = llr * _llr_punct
                 if S:  # shortened info bits are known zeros
                     llr = llr * (1.0 - _llr_short) - KNOWN_LLR * _llr_short
-                res = dec(llr, skip=skip) if skip is not None else dec(llr)
+                res = dec(llr, skip=skip)
                 # NOTE: per-codeword stats stay unreduced here -- reducing
                 # while-loop outputs to scalars in the same XLA program costs
                 # minutes of compile time; the reduction runs in _reduce below.
