@@ -1,4 +1,4 @@
-"""Asymptotic analysis tools: density evolution, decoding thresholds."""
+"""Asymptotic analysis tools: density evolution, EXIT charts, thresholds."""
 
 from ldpc_tpu.analysis.density_evolution import (
     bec_erasure_fixed_point,
@@ -7,6 +7,16 @@ from ldpc_tpu.analysis.density_evolution import (
     protograph_threshold,
     regular_protograph,
 )
+from ldpc_tpu.analysis.exit import (
+    cnd_curve,
+    edge_degree_distributions,
+    exit_curves,
+    exit_threshold,
+    j_function,
+    j_inverse,
+    tunnel_gap,
+    vnd_curve,
+)
 
 __all__ = [
     "bec_erasure_fixed_point",
@@ -14,4 +24,12 @@ __all__ = [
     "de_error_probability",
     "protograph_threshold",
     "regular_protograph",
+    "cnd_curve",
+    "edge_degree_distributions",
+    "exit_curves",
+    "exit_threshold",
+    "j_function",
+    "j_inverse",
+    "tunnel_gap",
+    "vnd_curve",
 ]

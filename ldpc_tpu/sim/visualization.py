@@ -183,3 +183,35 @@ class SimulationPlotter:
         if save_path:
             fig.savefig(save_path, dpi=150, bbox_inches="tight")
         return fig
+
+
+def plot_exit_chart(graph, ebno_db: float, rate: float, title: str = "",
+                    save_path=None):
+    """EXIT chart: VND curve vs inverted CND curve at one Eb/N0.
+
+    The shaded region between the curves is the decoding tunnel; BP
+    converges iff it stays open over the whole [0, 1) interval
+    (ldpc_tpu.analysis.exit). Beyond-reference analysis surface: the
+    reference ships no analysis plots at all.
+    """
+    if not HAS_MATPLOTLIB:
+        raise ImportError("matplotlib is required for visualization")
+    from ldpc_tpu.analysis.exit import exit_curves
+
+    i_a, vnd, cnd_inv = exit_curves(graph, ebno_db, rate)
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.plot(i_a, vnd, label=f"VND (Eb/N0 = {ebno_db:.2f} dB)")
+    ax.plot(i_a, cnd_inv, label="CND (axes swapped)")
+    open_mask = vnd > cnd_inv
+    ax.fill_between(i_a, cnd_inv, vnd, where=open_mask, alpha=0.15,
+                    label="decoding tunnel")
+    ax.set_xlabel("$I_A$ (VND input) / $I_E$ (CND output)")
+    ax.set_ylabel("$I_E$ (VND output) / $I_A$ (CND input)")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.grid(True, alpha=0.3)
+    ax.legend(loc="lower right")
+    ax.set_title(title or f"EXIT chart (rate {rate:.3f})")
+    if save_path:
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+    return fig
