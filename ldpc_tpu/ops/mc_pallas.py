@@ -118,6 +118,7 @@ def make_mc_decoder(
     noise_source: str = "hw",
     interpret: bool = False,
     debug_llr: bool = False,
+    track_norm: bool = True,
 ):
     """Build ``mc_step(wT, consts_vec, seeds[, raw][, skip]) -> BlockStats-like``.
 
@@ -161,7 +162,7 @@ def make_mc_decoder(
 
     loop = make_decode_loop(
         qc, max_iterations, variant, alpha=alpha, beta=beta,
-        tile_b=tile_b, schedule=schedule, k=k,
+        tile_b=tile_b, schedule=schedule, k=k, track_norm=track_norm,
     )
 
     def channel_fill(x_blk, get, llr_ref, c):
@@ -208,13 +209,18 @@ def make_mc_decoder(
 
     def kernel(consts_ref, seeds_ref, skip_ref, w_ref, mask_ref, *refs):
         if hw:
-            err_ref, ok_ref, conv_ref, norm_ref, iters_ref, \
-                E_ref, L_ref, prior_ref, llr_ref = refs
+            err_ref, ok_ref, conv_ref, norm_ref, iters_ref = refs[:5]
+            rest = refs[5:]
+            dllr_ref = None
         else:
             raw_in, err_ref, ok_ref, conv_ref, norm_ref, iters_ref = refs[:6]
             rest = refs[6:]
             dllr_ref = rest[0] if debug_llr else None
+        if track_norm:
             E_ref, L_ref, prior_ref, llr_ref = rest[-4:]
+        else:
+            E_ref, L_ref, llr_ref = rest[-3:]
+            prior_ref = None
         TB = tile_b
 
         def c(name):
@@ -335,7 +341,10 @@ def make_mc_decoder(
             scratch_shapes=[
                 pltpu.VMEM((mb, dcb, Z, tile_b), jnp.float32),  # E
                 pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # L
-                pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # prior
+            ] + (
+                [pltpu.VMEM((nb, Z, tile_b), jnp.float32)]  # prior
+                if track_norm else []
+            ) + [
                 pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # llr
             ],
         )(*args)
@@ -357,12 +366,13 @@ def make_mc_decoder(
 
 def mc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
                   tile_b: int = 128, noise_source: str = "hw",
-                  mode: int = 1) -> int:
+                  mode: int = 1, track_norm: bool = True) -> int:
     """Resident VMEM of the fused MC kernel (scratch + blocks) per grid step."""
     lanes = max(tile_b, 128)
     row_slots = qc.row_slots()
     dcb = max((len(r) for r in row_slots), default=1)
-    scratch = 4 * lanes * qc.Z * (qc.mb * dcb + 3 * qc.nb)  # E, L, prior, llr
+    nbuf = 3 if track_norm else 2  # L (+ prior), llr
+    scratch = 4 * lanes * qc.Z * (qc.mb * dcb + nbuf * qc.nb)
     io = 4 * lanes * qc.n  # w block
     if noise_source == "input":
         io += 4 * lanes * qc.n * DRAWS_PER_BIT[mode]
@@ -372,8 +382,9 @@ def mc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
 
 def mc_kernel_fits(qc: QCLayout, schedule: str = "flooding",
                    tile_b: int = 128, noise_source: str = "hw",
-                   mode: int = 1) -> bool:
-    return mc_vmem_bytes(qc, schedule, tile_b, noise_source, mode) <= VMEM_BUDGET
+                   mode: int = 1, track_norm: bool = True) -> bool:
+    return mc_vmem_bytes(qc, schedule, tile_b, noise_source, mode,
+                         track_norm) <= VMEM_BUDGET
 
 
 def channel_llr_reference(

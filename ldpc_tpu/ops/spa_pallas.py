@@ -123,6 +123,7 @@ def make_decode_loop(
     tile_b: int = 128,
     schedule: str = "flooding",
     k: int = 1,
+    track_norm: bool = True,
 ):
     """Build the in-kernel decode loop shared by the standalone decoder and
     the fused Monte-Carlo kernel.
@@ -133,6 +134,14 @@ def make_decode_loop(
     On return, ``L_ref[j]`` holds the final posteriors (frozen at each lane's
     convergence) and the result is ``(done_f, conv, norm, it)`` with shapes
     f32/int32/f32 [1, TB] and a scalar iteration count.
+
+    ``track_norm=False`` elides the normalized-LLR bookkeeping -- the
+    per-iteration flip scan over every base column AND the ``prior`` VMEM
+    scratch (callers pass ``prior_ref=None``). The returned ``norm`` is
+    zeros; est/ok/conv are unchanged (tests/test_pallas.py asserts identity).
+    The simulation runner requests it only when ``--normalized-llr`` is off,
+    matching the reference, which computes the metric only when its settings
+    flag is set (spa_decoder.py:206-228).
     """
     Z, nb, mb = qc.Z, qc.nb, qc.mb
     row_slots = qc.row_slots()
@@ -160,15 +169,16 @@ def make_decode_loop(
         updating), so est needs no in-loop copy -- callers read it from L
         after the loop."""
         it, done_f, conv, norm = carry
-        flips = jnp.zeros((1, TB), jnp.float32)
-        for bj in range(nb):
-            L = L_ref[bj]
-            f = (jnp.abs(L) <= LLR_WINDOW) & (prior_ref[bj] * L < 0)
-            flips = flips + jnp.sum(
-                f.astype(jnp.float32) * mask_blk(bj), axis=0, keepdims=True
-            )
-            prior_ref[bj] = L  # frozen lanes: L unchanged, so prior unchanged
-        norm = jnp.where(active, flips / max(k, 1), norm)
+        if track_norm:
+            flips = jnp.zeros((1, TB), jnp.float32)
+            for bj in range(nb):
+                L = L_ref[bj]
+                f = (jnp.abs(L) <= LLR_WINDOW) & (prior_ref[bj] * L < 0)
+                flips = flips + jnp.sum(
+                    f.astype(jnp.float32) * mask_blk(bj), axis=0, keepdims=True
+                )
+                prior_ref[bj] = L  # frozen lanes: L (so prior) unchanged
+            norm = jnp.where(active, flips / max(k, 1), norm)
         conv = jnp.where(active & ok_now, it, conv)
         done_f = jnp.maximum(done_f, ok_now.astype(jnp.float32))
         return (it + 1, done_f, conv, norm)
@@ -242,7 +252,8 @@ def make_decode_loop(
         # init: posterior = channel LLRs, extrinsics = 0
         for bj in range(nb):
             L_ref[bj] = llr_blk(bj)
-            prior_ref[bj] = llr_blk(bj)
+            if track_norm:
+                prior_ref[bj] = llr_blk(bj)
         for bi in range(mb):
             for slot in range(len(row_slots[bi])):
                 E_ref[bi, slot] = jnp.zeros((Z, TB), jnp.float32)
@@ -286,6 +297,7 @@ def make_qc_decoder(
     tile_b: int = 128,
     interpret: bool = False,
     schedule: str = "flooding",
+    track_norm: bool = True,
 ):
     """Build ``decode(llr: f32 [B, n]) -> DecodeResult`` for a QC code.
 
@@ -315,11 +327,12 @@ def make_qc_decoder(
 
     loop = make_decode_loop(
         qc, max_iterations, variant, alpha=alpha, beta=beta,
-        tile_b=tile_b, schedule=schedule, k=k,
+        tile_b=tile_b, schedule=schedule, k=k, track_norm=track_norm,
     )
 
     def kernel(skip_ref, llr_ref, mask_ref, est_ref, ok_ref, conv_ref,
-               norm_ref, iters_ref, E_ref, L_ref, prior_ref):
+               norm_ref, iters_ref, E_ref, L_ref, *rest):
+        prior_ref = rest[0] if track_norm else None
         TB = tile_b
 
         def llr_blk(j):
@@ -382,8 +395,10 @@ def make_qc_decoder(
             scratch_shapes=[
                 pltpu.VMEM((mb, dcb, Z, tile_b), jnp.float32),  # E
                 pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # L
-                pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # prior
-            ],
+            ] + (
+                [pltpu.VMEM((nb, Z, tile_b), jnp.float32)]  # prior
+                if track_norm else []
+            ),
         )(skip_arr, llr_t, mask_const)
 
         est = est_f.T[:B].astype(jnp.uint8)
@@ -404,27 +419,32 @@ VMEM_BUDGET = 14 << 20
 
 
 def qc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
-                  tile_b: int = 128, extra_blocks: int = 0) -> int:
+                  tile_b: int = 128, extra_blocks: int = 0,
+                  track_norm: bool = True) -> int:
     """Resident VMEM of the decode kernel for one grid step.
 
-    Counts scratch (E + L + prior) plus the I/O blocks (llr, est, info mask;
-    ``extra_blocks`` more [n, lanes] f32 blocks for callers that add inputs,
-    e.g. the fused Monte-Carlo kernel's packed-codeword input). The lane
-    dimension is padded to the 128-wide vector registers, so tiles below 128
-    lanes do NOT reduce the footprint -- tile_b is clamped up for accounting.
+    Counts scratch (E + L, plus ``prior`` when ``track_norm``) plus the I/O
+    blocks (llr, est, info mask; ``extra_blocks`` more [n, lanes] f32 blocks
+    for callers that add inputs, e.g. the fused Monte-Carlo kernel's
+    packed-codeword input). The lane dimension is padded to the 128-wide
+    vector registers, so tiles below 128 lanes do NOT reduce the footprint --
+    tile_b is clamped up for accounting.
     """
     lanes = max(tile_b, 128)
     row_slots = qc.row_slots()
     dcb = max((len(r) for r in row_slots), default=1)
-    scratch = 4 * lanes * (qc.mb * dcb * qc.Z + 2 * qc.nb * qc.Z)
+    l_blocks = 2 if track_norm else 1  # L (+ prior)
+    scratch = 4 * lanes * (qc.mb * dcb * qc.Z + l_blocks * qc.nb * qc.Z)
     io = 4 * lanes * qc.n * (2 + extra_blocks)  # llr in + est out (+ extras)
     mask = 4 * 128 * qc.n  # [n, 1] block still occupies one full lane group
     return scratch + io + mask
 
 
 def qc_kernel_fits(qc: QCLayout, schedule: str = "flooding",
-                   tile_b: int = 128, extra_blocks: int = 0) -> bool:
-    return qc_vmem_bytes(qc, schedule, tile_b, extra_blocks) <= VMEM_BUDGET
+                   tile_b: int = 128, extra_blocks: int = 0,
+                   track_norm: bool = True) -> bool:
+    return qc_vmem_bytes(qc, schedule, tile_b, extra_blocks,
+                         track_norm) <= VMEM_BUDGET
 
 
 def pick_tile_b(qc: QCLayout, schedule: str = "flooding") -> int:

@@ -91,7 +91,8 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
     if use_pallas:
         from ldpc_tpu.ops.spa_pallas import qc_kernel_fits
 
-        if not qc_kernel_fits(code.qc, schedule):
+        if not qc_kernel_fits(code.qc, schedule,
+                              track_norm=opts.normalized_llr):
             if want == "pallas":
                 raise ValueError(
                     f"kernel='pallas': {code.name} needs more VMEM than one "
@@ -119,6 +120,9 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
                 tile_b=pick_tile_b(code.qc, schedule=schedule),
                 interpret=not on_tpu,
                 schedule=schedule,
+                # elide the per-iteration normalized-LLR bookkeeping (and
+                # its VMEM scratch) when the metric is not requested
+                track_norm=opts.normalized_llr,
             )
         if schedule == "layered":
             from ldpc_tpu.ops.layered import make_qc_layered_decoder
@@ -273,7 +277,8 @@ class PointExecutor:
             from ldpc_tpu.ops.mc_pallas import mc_kernel_fits
 
             fused_eligible = mc_kernel_fits(
-                code.qc, schedule, noise_source=noise_source, mode=opts.mode
+                code.qc, schedule, noise_source=noise_source, mode=opts.mode,
+                track_norm=opts.normalized_llr,
             )
         if opts.fused == "on" and not fused_eligible:
             raise ValueError(
@@ -316,6 +321,7 @@ class PointExecutor:
                 schedule=schedule,
                 noise_source=noise_source,
                 interpret=not on_tpu,
+                track_norm=opts.normalized_llr,
             )
             draws = DRAWS_PER_BIT[opts.mode]
             n = code.n

@@ -1,0 +1,97 @@
+"""Measure fused-kernel throughput + FER per decoder variant at the bench point.
+
+Runs on the real TPU (cwd must be /root/repo for the axon backend). For each
+decoder variant at the wimax_1152_0.5 / Eb/N0 2 dB / layered operating point,
+times run_point windows (median) and reports FER -- the data for deciding
+whether a transcendental-free min-sum variant can replace SPA in bench.py
+without conceding error-correction quality (reference flooding-20 SPA
+measures FER 0.011 at this point).
+
+Usage: python scripts/variant_perf.py [config ...]
+  config = variant:iters[:alpha[:beta]]   e.g. normalized_minsum:12:0.8125
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+
+
+def measure(code, variant, iters, alpha=0.75, beta=0.15,
+            n_batches=64, n_windows=3, batch=4096):
+    from ldpc_tpu.sim.config import SimOptions
+    from ldpc_tpu.sim.runner import PointExecutor
+
+    opts = SimOptions(
+        matrix=code.path or code.name,
+        blocks=batch,
+        iterations=iters,
+        ber=True,
+        fer=True,
+        fidelity="exact",
+        batch=batch,
+        seed=0,
+        speed=0.5,
+        schedule="layered",
+        decoder=("sum-product" if variant == "spa" else variant),
+        minsum_alpha=alpha,
+        minsum_beta=beta,
+    )
+    ex = PointExecutor(code, opts)
+    key = jax.random.key(0)
+    codewords = n_batches * batch
+    # warmup / compile
+    ex.run_point(2.0, codewords, jax.random.fold_in(key, 999), 0)
+    times, fer_frames = [], 0
+    for w in range(n_windows):
+        t0 = time.perf_counter()
+        s = ex.run_point(2.0, codewords, jax.random.fold_in(key, w), w)
+        times.append(time.perf_counter() - t0)
+        fer_frames += s.fer_frames
+    times.sort()
+    med = times[len(times) // 2]
+    fer = fer_frames / (n_windows * codewords)
+    bits = codewords * code.k / med
+    print(
+        f"{variant:20s} it={iters:2d} a={alpha:.4f} b={beta:.2f} "
+        f"kernel={ex.kernel_used} FER={fer:.5f} "
+        f"med_window={med:.3f}s bits/s={bits:,.0f}",
+        flush=True,
+    )
+    return fer, bits
+
+
+def main():
+    from __graft_entry__ import _flagship_code
+
+    code = _flagship_code()
+    print(f"# device={jax.devices()[0].device_kind} code={code.name}",
+          flush=True)
+    configs = []
+    for arg in sys.argv[1:]:
+        parts = arg.split(":")
+        v = parts[0]
+        it = int(parts[1]) if len(parts) > 1 else 12
+        a = float(parts[2]) if len(parts) > 2 else 0.75
+        b = float(parts[3]) if len(parts) > 3 else 0.15
+        configs.append((v, it, a, b))
+    if not configs:
+        configs = [
+            ("spa", 12, 0.75, 0.15),
+            ("normalized_minsum", 12, 0.75, 0.15),
+            ("normalized_minsum", 12, 0.8125, 0.15),
+            ("normalized_minsum", 12, 0.875, 0.15),
+            ("offset_minsum", 12, 0.75, 0.15),
+            ("minsum", 12, 0.75, 0.15),
+        ]
+    for v, it, a, b in configs:
+        try:
+            measure(code, v, it, a, b)
+        except Exception as e:  # noqa: BLE001 - keep sweeping on one failure
+            print(f"{v} it={it} FAILED: {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

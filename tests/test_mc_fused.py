@@ -149,6 +149,41 @@ def test_fused_mode3_qpsk_bit_identical():
     _fused_vs_unfused(code, mode=3, modulation=2, snr_db=8.0, B=128, iters=6)
 
 
+@slow
+def test_fused_track_norm_off_identical(wimax_code):
+    """Same injected draw stream through track_norm on/off fused kernels:
+    err/ok/conv/iters bit-identical, norm zeros (the bench configuration
+    elides the normalized-LLR bookkeeping)."""
+    code = wimax_code
+    spec = code.standard_encode_spec
+    info_pos = spec.info_pos("orig")
+    B, iters = 128, 6
+    key = jax.random.key(7)
+    u = random_info_bits(key, B, code.k)
+    wT = make_encoder_T(spec, "orig")(u)
+    raw = jax.random.bits(jax.random.fold_in(key, 1),
+                          (DRAWS_PER_BIT[1], code.n, B), jnp.uint32)
+    params = ChannelParams(mode=1, modulation=1, snr_db=2.0, speed=0.5,
+                           noise_model="exact")
+    cv = consts_vector(params.consts())
+    seeds = jnp.zeros(2, jnp.int32)
+
+    def run(track_norm):
+        mc = make_mc_decoder(code.qc, info_pos, iters, "spa", mode=1,
+                             schedule="layered", noise_source="input",
+                             interpret=True, track_norm=track_norm)
+        return jax.jit(mc)(wT, cv, seeds, raw)
+
+    err1, ok1, conv1, norm1, it1 = run(True)
+    err2, ok2, conv2, norm2, it2 = run(False)
+    assert np.array_equal(np.asarray(err1), np.asarray(err2))
+    assert np.array_equal(np.asarray(ok1), np.asarray(ok2))
+    assert np.array_equal(np.asarray(conv1), np.asarray(conv2))
+    assert np.array_equal(np.asarray(it1), np.asarray(it2))
+    assert (np.asarray(norm2) == 0).all()
+    assert np.asarray(norm1).any()  # the on-path really measured something
+
+
 def test_mc_kernel_fits_whole_builtin_family():
     """Every QC code in the database fits the fused kernel's VMEM plan with
     the hardware noise source (the production configuration)."""

@@ -85,6 +85,31 @@ def test_pallas_matches_xla_decoder(wimax, variant):
     )
 
 
+@pytest.mark.parametrize("schedule", ["flooding", "layered"])
+def test_track_norm_off_identical(wimax, schedule):
+    """track_norm=False elides the normalized-LLR bookkeeping (and its
+    ``prior`` VMEM scratch) without touching the decode: est/ok/conv must be
+    bit-identical and norm_llr zeros."""
+    from ldpc_tpu.ops.spa_pallas import qc_vmem_bytes
+
+    code = wimax
+    info = code.standard_encode_spec.info_pos("orig")
+    _, _, llr = _llrs(code, 16, seed=9)
+    d_on = make_qc_decoder(code.qc, info, 8, "spa", interpret=True,
+                           schedule=schedule)
+    d_off = make_qc_decoder(code.qc, info, 8, "spa", interpret=True,
+                            schedule=schedule, track_norm=False)
+    r1 = d_on(jnp.asarray(llr))
+    r2 = d_off(jnp.asarray(llr))
+    assert np.array_equal(np.asarray(r1.est), np.asarray(r2.est))
+    assert np.array_equal(np.asarray(r1.ok), np.asarray(r2.ok))
+    assert np.array_equal(np.asarray(r1.conv_iter), np.asarray(r2.conv_iter))
+    assert (np.asarray(r2.norm_llr) == 0).all()
+    # the elided prior scratch shows up in the VMEM accounting
+    assert qc_vmem_bytes(code.qc, schedule, track_norm=False) < \
+        qc_vmem_bytes(code.qc, schedule)
+
+
 def test_pallas_batch_padding(wimax):
     """Batch not a multiple of tile_b: outputs for real codewords unchanged."""
     code = wimax
