@@ -37,6 +37,39 @@ import time
 BASELINE_INFO_BITS_PER_S = 363.0  # reference: 288*300/237.74 (BASELINE.md)
 
 
+def measure_point(executor, code, snr_db, *, batch, n_batches, n_windows,
+                  warmup_batches=64, warmup_runs=2, key=None):
+    """Median-window throughput + FER at one SNR point.
+
+    The single timing methodology shared by this benchmark and
+    scripts/variant_perf.py: ``warmup_runs`` untimed run_point calls (compile
+    + one-time tunnel costs), then ``n_windows`` timed windows of
+    ``n_batches`` batches each, reporting the median window (the remote-TPU
+    tunnel swings dispatch throughput ~2x between identical runs).
+
+    Returns ``(median_s, sorted_window_times, fer, info_bits_per_s)``.
+    """
+    import jax
+
+    if key is None:
+        key = jax.random.key(0)
+    for w in range(warmup_runs):
+        executor.run_point(
+            snr_db, batch * warmup_batches, jax.random.fold_in(key, 999 + w), w
+        )
+    codewords = n_batches * batch
+    window_times, fer_frames = [], 0
+    for w in range(n_windows):
+        t0 = time.perf_counter()
+        s = executor.run_point(snr_db, codewords, jax.random.fold_in(key, w), w)
+        window_times.append(time.perf_counter() - t0)
+        fer_frames += s.fer_frames
+    window_times.sort()
+    median = window_times[len(window_times) // 2]
+    fer = fer_frames / (n_windows * codewords)
+    return median, window_times, fer, codewords * code.k / median
+
+
 def main() -> int:
     import jax
 
@@ -59,40 +92,21 @@ def main() -> int:
         schedule="layered",
     )
     executor = PointExecutor(code, opts)
-    key = jax.random.key(0)
-
-    # compile + warmup: run the production point loop (scan-of-64 dispatch
-    # groups on the fused path) -- the first dispatches after compilation
-    # pay one-time runtime/transfer costs (esp. via remote TPU tunnels)
-    n_timed_batches = 320
-    for w in range(2):
-        executor.run_point(
-            2.0, batch * 64, jax.random.fold_in(key, 999 + w), w
-        )
 
     # timed region: the PRODUCTION streaming path (run_point). Windows are
-    # LONG (NS batches = 5 pipelined scan-of-64 dispatches) so the fixed
+    # LONG (320 batches = 5 pipelined scan-of-64 dispatches) so the fixed
     # per-window costs -- one ~28 ms tunnel sync plus one packed-counter
-    # fetch per dispatch group -- amortize below 5%; the median across NW
-    # windows rejects slow-window outliers (tunnel throughput swings 2x
-    # between identical runs).
-    n_timed, n_windows = n_timed_batches, 5
+    # fetch per dispatch group -- amortize below 5%; warmup + median
+    # methodology in measure_point.
+    n_timed, n_windows = 320, 5
+    elapsed, window_times, fer, bits_per_s = measure_point(
+        executor, code, 2.0, batch=batch, n_batches=n_timed,
+        n_windows=n_windows,
+    )
     codewords = n_timed * batch  # per window
-    window_times = []
-    fer_frames = 0
-    for w in range(n_windows):
-        t0 = time.perf_counter()
-        s = executor.run_point(2.0, codewords, jax.random.fold_in(key, w), w)
-        window_times.append(time.perf_counter() - t0)
-        fer_frames += s.fer_frames
-    window_times.sort()
-    elapsed = window_times[len(window_times) // 2]
-
     info_bits = codewords * code.k
-    bits_per_s = info_bits / elapsed
 
     # context to stderr (driver reads only the stdout JSON line)
-    fer = fer_frames / (n_windows * codewords)
     spread = [info_bits / t for t in (window_times[-1], elapsed, window_times[0])]
     print(
         f"# code={code.name} n={code.n} k={code.k} batch={batch} "

@@ -94,10 +94,16 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
         if not qc_kernel_fits(code.qc, schedule,
                               track_norm=opts.normalized_llr):
             if want == "pallas":
+                hint = (
+                    "; dropping --normalized-llr would free its VMEM scratch"
+                    if opts.normalized_llr
+                    and qc_kernel_fits(code.qc, schedule, track_norm=False)
+                    else ""
+                )
                 raise ValueError(
                     f"kernel='pallas': {code.name} needs more VMEM than one "
                     "core offers for the QC decode kernel (see "
-                    "spa_pallas.qc_vmem_bytes); use kernel='auto' or 'xla'"
+                    f"spa_pallas.qc_vmem_bytes); use kernel='auto' or 'xla'{hint}"
                 )
             if not opts.quiet:
                 print(
@@ -285,7 +291,8 @@ class PointExecutor:
                 "fused='on' requires a QC code, check_rule='exact', "
                 "decode_graph='orig', an SPA/min-sum variant, no interleaver, "
                 "modulation 1/2, no shorten/puncture, no mesh, and the kernel "
-                "fitting VMEM"
+                "fitting VMEM (--normalized-llr adds a scratch buffer to the "
+                "VMEM plan)"
             )
         use_fused = opts.fused == "on" or (
             opts.fused == "auto" and fused_eligible and on_tpu

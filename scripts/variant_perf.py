@@ -14,13 +14,13 @@ Usage: python scripts/variant_perf.py [config ...]
 from __future__ import annotations
 
 import sys
-import time
 
 import jax
 
 
 def measure(code, variant, iters, alpha=0.75, beta=0.15,
             n_batches=64, n_windows=3, batch=4096):
+    from bench import measure_point
     from ldpc_tpu.sim.config import SimOptions
     from ldpc_tpu.sim.runner import PointExecutor
 
@@ -40,20 +40,12 @@ def measure(code, variant, iters, alpha=0.75, beta=0.15,
         minsum_beta=beta,
     )
     ex = PointExecutor(code, opts)
-    key = jax.random.key(0)
-    codewords = n_batches * batch
-    # warmup / compile
-    ex.run_point(2.0, codewords, jax.random.fold_in(key, 999), 0)
-    times, fer_frames = [], 0
-    for w in range(n_windows):
-        t0 = time.perf_counter()
-        s = ex.run_point(2.0, codewords, jax.random.fold_in(key, w), w)
-        times.append(time.perf_counter() - t0)
-        fer_frames += s.fer_frames
-    times.sort()
-    med = times[len(times) // 2]
-    fer = fer_frames / (n_windows * codewords)
-    bits = codewords * code.k / med
+    # bench.py's timing methodology (shared helper), shorter windows: the
+    # table compares variants within one session, not across documents
+    med, _, fer, bits = measure_point(
+        ex, code, 2.0, batch=batch, n_batches=n_batches,
+        n_windows=n_windows, warmup_batches=n_batches, warmup_runs=1,
+    )
     print(
         f"{variant:20s} it={iters:2d} a={alpha:.4f} b={beta:.2f} "
         f"kernel={ex.kernel_used} FER={fer:.5f} "
