@@ -1,0 +1,211 @@
+"""Deep-waterfall FER curve + failure-structure profile on one TPU chip.
+
+Two phases, both far beyond what the reference simulator can reach (it
+decodes ~363 info bits/s, so one 1e-7-FER point would take years; see
+BASELINE.md):
+
+1. **Curve**: an SNR sweep with per-point early stop (``--target-errors``)
+   and a large per-point frame cap, pushing the FER estimate orders of
+   magnitude below the reference's ~50-block studies (main.py runs 50-300
+   blocks/point; FER resolution ~2e-2).
+2. **Profile**: at chosen SNR points, a jitted scan decodes batches and
+   histograms the *info-bit error weight* of every failing frame on-device
+   (one host fetch per dispatch group), split into
+   - detected failures (syndrome check fails): weight structure separates
+     near-codeword / trapping-set events (small, repeatable weights) from
+     channel noise still overwhelming the decoder (weights concentrated
+     near the uncoded error mass), and
+   - undetected errors (syndrome passes, bits wrong): decoder converged to
+     a DIFFERENT codeword; their weight is bounded below by the minimum
+     distance projected on the info positions. The reference's
+     failed-frames-only BER accounting scores these as error-free
+     (main.py:124-146) -- this profile measures what that convention hides.
+
+Usage (TPU, cwd=/root/repo):
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/error_floor.py \
+      [--code wimax_576_0.5.alist.txt] [--snr 2.0:4.5:0.25]
+      [--target-errors 100] [--max-blocks 200000000]
+      [--profile-snrs 3.0,3.5] [--profile-errors 300] [--out examples/error_floor]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_profiler(executor, k_active: int):
+    """Jitted scan of unfused MC steps -> on-device failure-weight histograms.
+
+    Returns ``chunk(key_point, start, consts, n_steps) ->
+    (hist_detected, hist_undetected, frames)`` where the histograms are
+    f32[k_active+1] counts over info-bit error weight. Key folding matches
+    PointExecutor.run_point, so the profiled stream IS the stream a normal
+    run would decode. Requires the executor built with fused='off' (per-frame
+    stats) and exact_ber=True (undetected errors counted: metrics.block_stats).
+    """
+    step = executor._step
+    nbins = k_active + 1
+
+    @functools.partial(jax.jit, static_argnames="n_steps")
+    def chunk(key_point, start, consts, n_steps: int):
+        def body(carry, i):
+            hd, hu, frames = carry
+            key = jax.random.fold_in(key_point, start + i)
+            stats, _ = step(key, consts)
+            w = jnp.clip(stats.error_bits, 0, k_active)
+            det = (~stats.ok).astype(jnp.float32)
+            undet = (stats.ok & (stats.error_bits > 0)).astype(jnp.float32)
+            hd = hd.at[w].add(det)
+            hu = hu.at[w].add(undet)
+            return (hd, hu, frames + np.float32(stats.ok.shape[0])), None
+
+        init = (
+            jnp.zeros(nbins, jnp.float32),
+            jnp.zeros(nbins, jnp.float32),
+            jnp.float32(0.0),
+        )
+        (hd, hu, frames), _ = jax.lax.scan(body, init, jnp.arange(n_steps))
+        return hd, hu, frames
+
+    return chunk
+
+
+def profile_point(code, opts, snr_db: float, min_failures: int,
+                  max_blocks: int, say=print):
+    """Decode until ``min_failures`` detected failures (or ``max_blocks``),
+    histogramming failure weights on-device."""
+    from ldpc_tpu.ops.channel import ChannelParams
+    from ldpc_tpu.sim.runner import PointExecutor
+
+    ex = PointExecutor(code, opts)
+    prof = make_profiler(ex, ex.k_active)
+    consts = ChannelParams(
+        mode=opts.mode, modulation=opts.modulation, speed=opts.speed,
+        snr_db=snr_db, interference_snr_db=opts.interference_snr, p=opts.p,
+        noise_model=opts.noise_model,
+    ).consts()
+    key_point = jax.random.fold_in(jax.random.key(opts.seed), 0)
+    hd = np.zeros(ex.k_active + 1)
+    hu = np.zeros(ex.k_active + 1)
+    frames = 0
+    start = 0
+    n_steps = 8
+    t0 = time.time()
+    while hd.sum() < min_failures and frames < max_blocks:
+        d, u, f = prof(key_point, jnp.int32(start), consts, n_steps)
+        hd += np.asarray(d)
+        hu += np.asarray(u)
+        frames += int(np.asarray(f))
+        start += n_steps
+        n_steps = min(n_steps * 2, 64)  # grow groups as the point gets deep
+    say(
+        f"  profiled {frames:,} frames in {time.time() - t0:.1f}s: "
+        f"{int(hd.sum())} detected failures, {int(hu.sum())} undetected"
+    )
+    return hd, hu, frames
+
+
+def weight_summary(hist: np.ndarray) -> dict:
+    total = hist.sum()
+    if total == 0:
+        return {"count": 0}
+    w = np.arange(hist.size)
+    cum = np.cumsum(hist)
+    pct = lambda q: int(w[np.searchsorted(cum, q * total)])  # noqa: E731
+    return {
+        "count": int(total),
+        "min_weight": int(w[hist > 0][0]),
+        "max_weight": int(w[hist > 0][-1]),
+        "p10": pct(0.10),
+        "median": pct(0.50),
+        "p90": pct(0.90),
+        "mean": float((hist * w).sum() / total),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--code", default="builtin:wimax_576_0.5.alist.txt")
+    ap.add_argument("--snr", default="2.0:4.5:0.25",
+                    help="curve grid lo:hi:step (Eb/N0 dB; speed=rate)")
+    ap.add_argument("--target-errors", type=int, default=100)
+    ap.add_argument("--max-blocks", type=int, default=200_000_000,
+                    help="per-point frame cap for the curve")
+    ap.add_argument("--profile-snrs", default="3.0,3.5",
+                    help="comma list of SNRs for the failure profile")
+    ap.add_argument("--profile-errors", type=int, default=300)
+    ap.add_argument("--profile-max-blocks", type=int, default=50_000_000)
+    ap.add_argument("--iterations", type=int, default=12)
+    ap.add_argument("--schedule", default="layered")
+    ap.add_argument("--out", default="examples/error_floor")
+    ap.add_argument("--skip-curve", action="store_true")
+    args = ap.parse_args()
+
+    from ldpc_tpu.sim.config import SimOptions
+    from ldpc_tpu.sim.runner import load_code, run_simulation
+
+    code = load_code(args.code)
+    rate = code.k / code.n
+    lo, hi, step = (float(x) for x in args.snr.split(":"))
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    base = dict(
+        matrix=args.code,
+        iterations=args.iterations,
+        ber=True,
+        fer=True,
+        fidelity="exact",
+        exact_ber=True,
+        speed=rate,
+        schedule=args.schedule,
+        seed=0,
+    )
+
+    print(f"# device={jax.devices()[0].device_kind} code={code.name} "
+          f"k={code.k} rate={rate:g}", flush=True)
+
+    result = None
+    if not args.skip_curve:
+        opts = SimOptions(
+            blocks=args.max_blocks,
+            initial_snr=lo, end_snr=hi, step_snr=step,
+            target_errors=args.target_errors,
+            checkpoint=str(out / "curve.json"),
+            resume=True,
+            **base,
+        )
+        result = run_simulation(opts, code)
+        result.to_json(str(out / "curve.json"))
+
+    profiles = {}
+    for s in args.profile_snrs.split(","):
+        snr = float(s)
+        print(f"\nprofiling failures at {snr:g} dB", flush=True)
+        popts = SimOptions(blocks=4096, batch=4096, fused="off", **base)
+        hd, hu, frames = profile_point(
+            code, popts, snr, args.profile_errors, args.profile_max_blocks
+        )
+        profiles[snr] = {
+            "frames": frames,
+            "detected": weight_summary(hd),
+            "undetected": weight_summary(hu),
+            "hist_detected": {int(w): int(c) for w, c in enumerate(hd) if c},
+            "hist_undetected": {int(w): int(c) for w, c in enumerate(hu) if c},
+        }
+
+    (out / "failure_profile.json").write_text(json.dumps(profiles, indent=1))
+    print(json.dumps(profiles, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    main()
