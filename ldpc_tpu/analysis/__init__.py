@@ -1,4 +1,4 @@
-"""Asymptotic analysis tools: density evolution, EXIT charts, thresholds."""
+"""Analysis tools: density evolution, EXIT charts, thresholds, failure profiling."""
 
 from ldpc_tpu.analysis.density_evolution import (
     bec_erasure_fixed_point,
@@ -6,6 +6,11 @@ from ldpc_tpu.analysis.density_evolution import (
     de_error_probability,
     protograph_threshold,
     regular_protograph,
+)
+from ldpc_tpu.analysis.failures import (
+    make_profiler,
+    profile_point,
+    weight_summary,
 )
 from ldpc_tpu.analysis.exit import (
     cnd_curve,
@@ -32,4 +37,7 @@ __all__ = [
     "j_inverse",
     "tunnel_gap",
     "vnd_curve",
+    "make_profiler",
+    "profile_point",
+    "weight_summary",
 ]

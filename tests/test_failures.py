@@ -1,0 +1,83 @@
+"""Failure-structure profiler (ldpc_tpu.analysis.failures).
+
+Ground truth: the same MC steps run one-by-one through the executor's
+jitted step, histogrammed in numpy. The profiler's scan must reproduce
+those histograms exactly (same key folding, same decode)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldpc_tpu.analysis.failures import make_profiler, profile_point, weight_summary
+from ldpc_tpu.ops.channel import ChannelParams
+from ldpc_tpu.sim.config import SimOptions
+from ldpc_tpu.sim.runner import PointExecutor, load_code
+
+SNR = 2.0
+
+
+def _opts(**kw):
+    return SimOptions(
+        matrix="builtin:wimax_576_0.5.alist.txt",
+        blocks=128,
+        batch=128,
+        iterations=4,
+        ber=True,
+        fer=True,
+        fidelity="exact",
+        exact_ber=True,
+        speed=0.5,
+        fused="off",
+        seed=3,
+        **kw,
+    )
+
+
+def test_profiler_matches_per_step_histograms():
+    code = load_code("builtin:wimax_576_0.5.alist.txt")
+    opts = _opts()
+    ex = PointExecutor(code, opts)
+    consts = ChannelParams(
+        mode=1, modulation=1, speed=0.5, snr_db=SNR, noise_model="exact"
+    ).consts()
+    key_point = jax.random.fold_in(jax.random.key(opts.seed), 0)
+    n_steps = 3
+
+    chunk = make_profiler(ex, ex.k_active)
+    hd, hu, frames = chunk(key_point, jnp.int32(0), consts, n_steps)
+    hd, hu = np.asarray(hd), np.asarray(hu)
+    assert int(frames) == n_steps * opts.batch
+
+    # ground truth: same keys through the executor's own step
+    ref_d = np.zeros(ex.k_active + 1)
+    ref_u = np.zeros(ex.k_active + 1)
+    for i in range(n_steps):
+        stats, _ = ex._step(jax.random.fold_in(key_point, i), consts)
+        w = np.asarray(stats.error_bits)
+        ok = np.asarray(stats.ok)
+        np.add.at(ref_d, w[~ok], 1)
+        np.add.at(ref_u, w[ok & (w > 0)], 1)
+    assert np.array_equal(hd, ref_d)
+    assert np.array_equal(hu, ref_u)
+    # at 2 dB / 4 iterations failures must exist, and detected failures
+    # dominate (undetected events are minimum-distance rare)
+    assert ref_d.sum() > 0
+    assert hd.sum() >= hu.sum()
+
+
+def test_profile_point_stops_at_quota():
+    code = load_code("builtin:wimax_576_0.5.alist.txt")
+    hd, hu, frames = profile_point(
+        code, _opts(), SNR, min_failures=1, max_blocks=4096,
+        say=lambda *a, **k: None,
+    )
+    # first dispatch group is 8 batches; the quota check runs per group
+    assert frames == 8 * 128
+    assert hd.sum() >= 1
+
+    s = weight_summary(hd)
+    assert s["count"] == int(hd.sum())
+    assert 0 <= s["min_weight"] <= s["median"] <= s["p90"] <= s["max_weight"]
+    assert weight_summary(np.zeros(5)) == {"count": 0}
