@@ -68,19 +68,24 @@ def make_profiler(executor, k_active: int):
 
 
 def profile_point(code, opts, snr_db: float, min_failures: int,
-                  max_blocks: int, say=print):
+                  max_blocks: int, say=print, executor=None):
     """Decode until ``min_failures`` detected failures (or ``max_blocks``
     frames), histogramming failure weights on-device.
 
     ``opts`` must carry ``fused='off'`` and ``exact_ber=True``; see
-    :func:`make_profiler`. Returns ``(hist_detected, hist_undetected,
-    frames)`` as numpy arrays / int.
+    :func:`make_profiler`. Pass ``executor`` to reuse one compiled step
+    across SNR points. Returns ``(hist_detected, hist_undetected, frames)``
+    as numpy arrays / int.
     """
     from ldpc_tpu.ops.channel import ChannelParams
     from ldpc_tpu.sim.runner import PointExecutor
 
-    ex = PointExecutor(code, opts)
-    prof = make_profiler(ex, ex.k_active)
+    ex = executor if executor is not None else PointExecutor(code, opts)
+    # cache the jitted scan on the executor: jax.jit keys its compile cache
+    # on the function object, so rebuilding it per point would recompile
+    prof = getattr(ex, "_failure_profiler", None)
+    if prof is None:
+        prof = ex._failure_profiler = make_profiler(ex, ex.k_active)
     consts = ChannelParams(
         mode=opts.mode, modulation=opts.modulation, speed=opts.speed,
         snr_db=snr_db, interference_snr_db=opts.interference_snr, p=opts.p,
@@ -105,6 +110,33 @@ def profile_point(code, opts, snr_db: float, min_failures: int,
         f"{int(hd.sum())} detected failures, {int(hu.sum())} undetected"
     )
     return hd, hu, frames
+
+
+def profile_sweep(code, opts, snrs, min_failures: int, max_blocks: int,
+                  say=print) -> dict:
+    """Failure profile at each SNR in ``snrs`` with ONE compiled step.
+
+    Returns ``{snr: {frames, detected, undetected, hist_detected,
+    hist_undetected}}`` (JSON-ready; histograms as weight->count dicts).
+    Used by scripts/error_floor.py and the CLI's ``--failure-profile``.
+    """
+    from ldpc_tpu.sim.runner import PointExecutor
+
+    ex = PointExecutor(code, opts)
+    out = {}
+    for snr in snrs:
+        say(f"profiling failures at {snr:g} dB")
+        hd, hu, frames = profile_point(
+            code, opts, snr, min_failures, max_blocks, say=say, executor=ex
+        )
+        out[snr] = {
+            "frames": frames,
+            "detected": weight_summary(hd),
+            "undetected": weight_summary(hu),
+            "hist_detected": {int(w): int(c) for w, c in enumerate(hd) if c},
+            "hist_undetected": {int(w): int(c) for w, c in enumerate(hu) if c},
+        }
+    return out
 
 
 def weight_summary(hist: np.ndarray) -> dict:

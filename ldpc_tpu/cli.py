@@ -146,6 +146,13 @@ Examples:
                         help="Resume the sweep from --checkpoint (skips completed points)")
     parser.add_argument("--profile", type=str, default=None,
                         help="Capture a jax.profiler trace of the sweep into this directory")
+    parser.add_argument("--failure-profile", type=str, default=None,
+                        metavar="FILE",
+                        help="After the sweep, profile the failing frames at "
+                             "every SNR point: on-device histograms of "
+                             "info-bit error weight, detected failures vs "
+                             "undetected errors, written as JSON "
+                             "(ldpc_tpu.analysis.failures)")
     parser.add_argument("--shorten", type=int, default=0,
                         help="Shorten: fix the last S info bits to zero (known "
                              "at the receiver); effective rate (k-S)/(n-S-P)")
@@ -368,6 +375,27 @@ def main(argv: list[str] | None = None) -> int:
         if opts.output_csv:
             sim_result.to_csv(opts.output_csv)
             say(f"Results exported to CSV: {opts.output_csv}")
+
+        if args.failure_profile:
+            import json
+            from dataclasses import replace
+
+            from ldpc_tpu.analysis.failures import profile_sweep
+            from ldpc_tpu.sim.runner import snr_steps
+
+            # per-frame stats need the unfused step; undetected errors need
+            # exact accounting (the sweep above is not re-run)
+            popts = replace(opts, fused="off", exact_ber=True, adaptive=False)
+            profiles = profile_sweep(
+                code, popts,
+                snr_steps(opts.initial_snr, opts.end_snr, opts.step_snr),
+                min_failures=max(opts.target_errors, 100),
+                max_blocks=opts.blocks,
+                say=say,
+            )
+            with open(args.failure_profile, "w") as f:
+                json.dump(profiles, f, indent=1)
+            say(f"Failure profile exported: {args.failure_profile}")
 
         if opts.plot or opts.plot_save:
             from ldpc_tpu.sim.visualization import SimulationPlotter

@@ -36,7 +36,7 @@ from pathlib import Path
 
 import jax
 
-from ldpc_tpu.analysis.failures import profile_point, weight_summary
+from ldpc_tpu.analysis.failures import profile_sweep
 
 
 def main() -> int:
@@ -94,21 +94,11 @@ def main() -> int:
         result = run_simulation(opts, code)
         result.to_json(str(out / "curve.json"))
 
-    profiles = {}
-    for s in args.profile_snrs.split(","):
-        snr = float(s)
-        print(f"\nprofiling failures at {snr:g} dB", flush=True)
-        popts = SimOptions(blocks=4096, batch=4096, fused="off", **base)
-        hd, hu, frames = profile_point(
-            code, popts, snr, args.profile_errors, args.profile_max_blocks
-        )
-        profiles[snr] = {
-            "frames": frames,
-            "detected": weight_summary(hd),
-            "undetected": weight_summary(hu),
-            "hist_detected": {int(w): int(c) for w, c in enumerate(hd) if c},
-            "hist_undetected": {int(w): int(c) for w, c in enumerate(hu) if c},
-        }
+    popts = SimOptions(blocks=4096, batch=4096, fused="off", **base)
+    profiles = profile_sweep(
+        code, popts, [float(s) for s in args.profile_snrs.split(",")],
+        args.profile_errors, args.profile_max_blocks,
+    )
 
     (out / "failure_profile.json").write_text(json.dumps(profiles, indent=1))
     print(json.dumps(profiles, indent=1))

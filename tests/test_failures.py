@@ -81,3 +81,27 @@ def test_profile_point_stops_at_quota():
     assert s["count"] == int(hd.sum())
     assert 0 <= s["min_weight"] <= s["median"] <= s["p90"] <= s["max_weight"]
     assert weight_summary(np.zeros(5)) == {"count": 0}
+
+
+def test_cli_failure_profile_export(tmp_path):
+    """--failure-profile writes per-SNR histograms after the sweep."""
+    import json
+
+    from ldpc_tpu.cli import main as cli_main
+
+    out = tmp_path / "fp.json"
+    rc = cli_main([
+        "--matrix", "builtin:wimax_576_0.5.alist.txt",
+        "--blocks", "256", "--batch", "128", "--iterations", "3",
+        "--ber", "--fer", "--fidelity", "exact", "--speed", "0.5",
+        "--kernel", "xla",
+        "--initial-snr", str(SNR), "--end-snr", str(SNR), "--step-snr", "1",
+        "--failure-profile", str(out), "--quiet",
+    ])
+    assert rc == 0
+    profiles = json.loads(out.read_text())
+    assert list(profiles) == [str(SNR)]
+    p = profiles[str(SNR)]
+    assert p["frames"] >= 256
+    assert p["detected"]["count"] == sum(p["hist_detected"].values())
+    assert p["detected"]["count"] > 0  # 2 dB / 3 iterations: failures exist
