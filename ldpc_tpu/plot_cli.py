@@ -22,7 +22,7 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(
         prog="ldpc_tpu.plot", description="Plot saved LDPC simulation results"
     )
-    parser.add_argument("results", nargs="+", help="JSON result file(s)")
+    parser.add_argument("results", nargs="*", help="JSON result file(s)")
     parser.add_argument(
         "--metric",
         type=str,
@@ -37,7 +37,33 @@ def main(argv: list[str] | None = None) -> int:
                         help="Output directory for the dashboard")
     parser.add_argument("--no-show", action="store_true",
                         help="Do not open an interactive window")
+    parser.add_argument("--failure-profile", type=str, default=None,
+                        metavar="FILE",
+                        help="Plot a failure-profile JSON (from the "
+                             "simulation CLI's --failure-profile) instead of "
+                             "result curves")
     args = parser.parse_args(argv)
+
+    if args.failure_profile:
+        import json
+
+        from ldpc_tpu.sim.visualization import plot_failure_profile
+
+        try:
+            with open(args.failure_profile) as f:
+                profiles = json.load(f)
+        except (OSError, ValueError) as e:
+            print(f"Error loading failure profile: {e}")
+            return 1
+        plot_failure_profile(profiles, save_path=args.output)
+        if not args.no_show and not args.output:
+            import matplotlib.pyplot as plt
+
+            plt.show()
+        return 0
+
+    if not args.results:
+        parser.error("result files required (or --failure-profile)")
 
     try:
         results = [SimulationResult.from_json(p) for p in args.results]

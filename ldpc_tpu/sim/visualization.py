@@ -185,6 +185,49 @@ class SimulationPlotter:
         return fig
 
 
+def plot_failure_profile(profiles: dict, title: str = "", save_path=None):
+    """Failure-weight histograms per SNR point (ldpc_tpu.analysis.failures).
+
+    ``profiles`` is the ``profile_sweep`` / ``--failure-profile`` JSON dict:
+    ``{snr: {frames, hist_detected: {weight: count}, hist_undetected}}``.
+    One panel per SNR (shared axes), per-frame rate on a log axis so panels
+    with different frame counts compare directly; detected failures and
+    undetected errors keep fixed hues across panels.
+    """
+    if not HAS_MATPLOTLIB:
+        raise ImportError("matplotlib is required for visualization")
+    snrs = sorted(profiles, key=float)
+    fig, axes = plt.subplots(
+        1, len(snrs), figsize=(4.5 * len(snrs), 4.5),
+        sharey=True, squeeze=False,
+    )
+    for ax, snr in zip(axes[0], snrs):
+        p = profiles[snr]
+        frames = max(int(p.get("frames", 0)), 1)
+        for key, label, color in (
+            ("hist_detected", "detected failure", "C0"),
+            ("hist_undetected", "undetected error", "C1"),
+        ):
+            hist = {int(w): c for w, c in p.get(key, {}).items()}
+            if not hist:
+                continue
+            ws = sorted(hist)
+            ax.bar(ws, [hist[w] / frames for w in ws], width=1.0,
+                   color=color, alpha=0.75, label=label)
+        ax.set_yscale("log")
+        ax.set_xlabel("info-bit error weight")
+        ax.set_title(f"{float(snr):g} dB  ({int(p.get('frames', 0)):,} frames)",
+                     fontsize=10)
+        ax.grid(True, alpha=0.3)
+    axes[0][0].set_ylabel("events / frame")
+    axes[0][0].legend(loc="upper right")
+    fig.suptitle(title or "Failure structure vs SNR")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+    return fig
+
+
 def plot_exit_chart(graph, ebno_db: float, rate: float, title: str = "",
                     save_path=None):
     """EXIT chart: VND curve vs inverted CND curve at one Eb/N0.

@@ -105,3 +105,11 @@ def test_cli_failure_profile_export(tmp_path):
     assert p["frames"] >= 256
     assert p["detected"]["count"] == sum(p["hist_detected"].values())
     assert p["detected"]["count"] > 0  # 2 dB / 3 iterations: failures exist
+
+    # plot surface: module function and the plot CLI both render the JSON
+    from ldpc_tpu.plot_cli import main as plot_main
+
+    png = tmp_path / "fp.png"
+    rc = plot_main(["--failure-profile", str(out), "--output", str(png),
+                    "--no-show"])
+    assert rc == 0 and png.stat().st_size > 0
