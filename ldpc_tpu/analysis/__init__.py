@@ -8,8 +8,11 @@ from ldpc_tpu.analysis.density_evolution import (
     regular_protograph,
 )
 from ldpc_tpu.analysis.failures import (
+    collect_failure_patterns,
+    make_pattern_profiler,
     make_profiler,
     profile_point,
+    trapping_census,
     weight_summary,
 )
 from ldpc_tpu.analysis.exit import (
@@ -37,7 +40,10 @@ __all__ = [
     "j_inverse",
     "tunnel_gap",
     "vnd_curve",
+    "collect_failure_patterns",
+    "make_pattern_profiler",
     "make_profiler",
     "profile_point",
+    "trapping_census",
     "weight_summary",
 ]

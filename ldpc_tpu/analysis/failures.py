@@ -112,6 +112,136 @@ def profile_point(code, opts, snr_db: float, min_failures: int,
     return hd, hu, frames
 
 
+def make_pattern_profiler(executor, max_patterns: int = 256):
+    """Jitted scan capturing residual error vectors of detected failures.
+
+    Returns ``chunk(key_point, start, consts, n_steps) -> (buf, count)``:
+    ``buf`` is uint8 [max_patterns, n] holding the first ``max_patterns``
+    residuals e = est XOR w of frames whose syndrome check failed (w is a
+    valid codeword, so H@e = H@est != 0); ``count`` is the total number of
+    detected failures seen (may exceed the buffer). The buffer is filled
+    on-device -- host traffic per dispatch group is one [K, n] fetch
+    regardless of batch count. Requires an unfused executor (fused='off').
+    """
+    builder = getattr(executor, "_pattern_step_builder", None)
+    if builder is None:
+        raise ValueError(
+            "pattern capture needs the unfused pipeline: build the "
+            "PointExecutor with fused='off'"
+        )
+    pstep = getattr(executor, "_pattern_step", None)
+    if pstep is None:
+        pstep = executor._pattern_step = builder()
+    K = max_patterns
+    n = executor.code.n
+
+    @functools.partial(jax.jit, static_argnames="n_steps")
+    def chunk(key_point, start, consts, n_steps: int):
+        def body(carry, i):
+            buf, cnt = carry
+            key = jax.random.fold_in(key_point, start + i)
+            stats, _, resid = pstep(key, consts)
+            failed = ~stats.ok  # bool [B]
+            # pack failed rows first (argsort is stable: batch order kept)
+            order = jnp.argsort(jnp.logical_not(failed))
+            # fixed accumulator dtype: under x64, sum() would promote the
+            # carry to int64 and break the scan's carry-type invariance
+            nf = jnp.sum(failed, dtype=jnp.int32).astype(jnp.int32)
+            take = min(failed.shape[0], K)
+            resid_f = resid[order[:take]].astype(jnp.uint8)
+            pos = cnt + jnp.arange(take)
+            valid = (jnp.arange(take) < nf) & (pos < K)
+            pos = jnp.where(valid, pos, K)  # K is out of bounds -> dropped
+            buf = buf.at[pos].set(resid_f, mode="drop")
+            return (buf, cnt + nf), None
+
+        init = (jnp.zeros((K, n), jnp.uint8), jnp.int32(0))
+        (buf, cnt), _ = jax.lax.scan(body, init, jnp.arange(n_steps))
+        return buf, cnt
+
+    return chunk
+
+
+def collect_failure_patterns(code, opts, snr_db: float, min_patterns: int,
+                             max_blocks: int, max_patterns: int = 256,
+                             say=print, executor=None):
+    """Residual error vectors of detected failures at one SNR point.
+
+    Returns ``(patterns, failures_seen, frames)`` with ``patterns`` a uint8
+    [min(failures_seen, max_patterns), n] numpy array.
+    """
+    from ldpc_tpu.ops.channel import ChannelParams
+    from ldpc_tpu.sim.runner import PointExecutor
+
+    ex = executor if executor is not None else PointExecutor(code, opts)
+    prof = make_pattern_profiler(ex, max_patterns)
+    consts = ChannelParams(
+        mode=opts.mode, modulation=opts.modulation, speed=opts.speed,
+        snr_db=snr_db, interference_snr_db=opts.interference_snr, p=opts.p,
+        noise_model=opts.noise_model,
+    ).consts()
+    key_point = jax.random.fold_in(jax.random.key(opts.seed), 0)
+    buf = np.zeros((max_patterns, code.n), np.uint8)
+    seen = 0
+    frames = 0
+    start = 0
+    n_steps = 8
+    t0 = time.time()
+    while seen < min(min_patterns, max_patterns) and frames < max_blocks:
+        # each chunk restarts an empty device buffer; copy the fresh rows out
+        b, c = prof(key_point, jnp.int32(start), consts, n_steps)
+        c = int(np.asarray(c))
+        room = max_patterns - seen
+        fresh = np.asarray(b[: min(c, room)])
+        buf[seen: seen + len(fresh)] = fresh
+        seen += c
+        frames += n_steps * ex.batch
+        start += n_steps
+        n_steps = min(n_steps * 2, 64)
+    say(
+        f"  captured {min(seen, max_patterns)} failure patterns "
+        f"({seen} failures / {frames:,} frames) in {time.time() - t0:.1f}s"
+    )
+    return buf[: min(seen, max_patterns)], seen, frames
+
+
+def trapping_census(patterns: np.ndarray, code, graph: str = "orig",
+                    top: int = 10) -> dict:
+    """Classify residual error vectors into (a, b) trapping-set classes.
+
+    ``a`` = residual support size (variable nodes in error), ``b`` = number
+    of unsatisfied checks (weight of H @ e mod 2). Small recurring (a, b)
+    classes with b << a*dv are near-codeword / trapping-set events -- the
+    error-floor mechanism; ``classes`` maps "a,b" -> count (all classes,
+    most frequent first) and ``recurring_supports`` lists the ``top`` exact
+    supports captured more than once.
+    """
+    H = (code._h_std_dense if graph in ("std", "standard")
+         else code.H.to_dense()).astype(np.int64)
+    classes: dict[str, int] = {}
+    supports: dict[tuple, int] = {}
+    for e in np.asarray(patterns):
+        sup = np.flatnonzero(e)
+        if sup.size == 0:
+            continue  # not a detected failure (defensive)
+        b = int((H[:, sup].sum(axis=1) & 1).sum())
+        key = f"{sup.size},{b}"
+        classes[key] = classes.get(key, 0) + 1
+        skey = tuple(int(v) for v in sup)
+        supports[skey] = supports.get(skey, 0) + 1
+    recurring = sorted(
+        ((list(s), c) for s, c in supports.items() if c > 1),
+        key=lambda sc: -sc[1],
+    )[:top]
+    return {
+        "patterns": int(len(patterns)),
+        "classes": dict(sorted(classes.items(), key=lambda kv: -kv[1])),
+        "recurring_supports": [
+            {"support": s, "count": c, "a": len(s)} for s, c in recurring
+        ],
+    }
+
+
 def profile_sweep(code, opts, snrs, min_failures: int, max_blocks: int,
                   say=print) -> dict:
     """Failure profile at each SNR in ``snrs`` with ONE compiled step.

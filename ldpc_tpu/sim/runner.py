@@ -429,7 +429,7 @@ class PointExecutor:
             code, opts, layout, info_pos, self.max_iterations, batch=self.batch
         )
 
-        def make_step(dec):
+        def make_step(dec, patterns: bool = False):
             def step(key: jax.Array, consts: ChannelConsts,
                      skip: jax.Array | None = None):
                 k_u, k_il, k_ch = jax.random.split(key, 3)
@@ -453,11 +453,20 @@ class PointExecutor:
                 stats = block_stats(
                     u[:, :k_active], res, self._info_pos, exact=exact_ber
                 )
+                if patterns:
+                    # residual error vector over the whole codeword: w is a
+                    # valid codeword, so H @ resid == H @ est -- the support
+                    # of a detected failure is a trapping-set candidate
+                    # (ldpc_tpu.analysis.failures.trapping_census)
+                    resid = res.est ^ w.astype(res.est.dtype)
+                    return stats, res.iters_run, resid
                 return stats, res.iters_run
 
             return step
 
         self._step = jax.jit(make_step(decode))
+        # residual-pattern step for failure analysis, compiled only if used
+        self._pattern_step_builder = lambda: jax.jit(make_step(decode, True))
 
     def run_point(
         self, snr_db: float, blocks: int, base_key: jax.Array, point_index: int

@@ -36,7 +36,11 @@ from pathlib import Path
 
 import jax
 
-from ldpc_tpu.analysis.failures import profile_sweep
+from ldpc_tpu.analysis.failures import (
+    collect_failure_patterns,
+    profile_sweep,
+    trapping_census,
+)
 
 
 def main() -> int:
@@ -55,6 +59,10 @@ def main() -> int:
     ap.add_argument("--schedule", default="layered")
     ap.add_argument("--out", default="examples/error_floor")
     ap.add_argument("--skip-curve", action="store_true")
+    ap.add_argument("--census-snr", type=float, default=None,
+                    help="Also capture residual patterns at this SNR and "
+                         "classify (a,b) trapping-set classes")
+    ap.add_argument("--census-patterns", type=int, default=256)
     args = ap.parse_args()
 
     from ldpc_tpu.sim.config import SimOptions
@@ -102,6 +110,21 @@ def main() -> int:
 
     (out / "failure_profile.json").write_text(json.dumps(profiles, indent=1))
     print(json.dumps(profiles, indent=1))
+
+    if args.census_snr is not None:
+        print(f"\ntrapping-set census at {args.census_snr:g} dB", flush=True)
+        pats, seen, frames = collect_failure_patterns(
+            code, popts, args.census_snr,
+            min_patterns=args.census_patterns,
+            max_blocks=args.profile_max_blocks,
+            max_patterns=args.census_patterns,
+        )
+        census = trapping_census(pats, code, graph="orig")
+        census["snr_db"] = args.census_snr
+        census["failures_seen"] = seen
+        census["frames"] = frames
+        (out / "trapping_census.json").write_text(json.dumps(census, indent=1))
+        print(json.dumps(census, indent=1))
     return 0
 
 

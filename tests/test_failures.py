@@ -10,7 +10,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ldpc_tpu.analysis.failures import make_profiler, profile_point, weight_summary
+from ldpc_tpu.analysis.failures import (
+    collect_failure_patterns,
+    make_pattern_profiler,
+    make_profiler,
+    profile_point,
+    trapping_census,
+    weight_summary,
+)
 from ldpc_tpu.ops.channel import ChannelParams
 from ldpc_tpu.sim.config import SimOptions
 from ldpc_tpu.sim.runner import PointExecutor, load_code
@@ -81,6 +88,56 @@ def test_profile_point_stops_at_quota():
     assert s["count"] == int(hd.sum())
     assert 0 <= s["min_weight"] <= s["median"] <= s["p90"] <= s["max_weight"]
     assert weight_summary(np.zeros(5)) == {"count": 0}
+
+
+def test_pattern_capture_matches_weight_histogram():
+    """Residual patterns and the weight histogram describe the SAME failures:
+    every captured residual fails the syndrome check, and the multiset of
+    info-projected weights equals the detected-failure histogram."""
+    code = load_code("builtin:wimax_576_0.5.alist.txt")
+    opts = _opts()
+    ex = PointExecutor(code, opts)
+    consts = ChannelParams(
+        mode=1, modulation=1, speed=0.5, snr_db=SNR, noise_model="exact"
+    ).consts()
+    key_point = jax.random.fold_in(jax.random.key(opts.seed), 0)
+    n_steps = 3
+
+    hd, _, _ = make_profiler(ex, ex.k_active)(
+        key_point, jnp.int32(0), consts, n_steps
+    )
+    buf, cnt = make_pattern_profiler(ex, max_patterns=512)(
+        key_point, jnp.int32(0), consts, n_steps
+    )
+    hd = np.asarray(hd)
+    cnt = int(np.asarray(cnt))
+    assert cnt == int(hd.sum()) > 0
+    assert cnt <= 512  # all failures captured at this FER/batch
+    pats = np.asarray(buf[:cnt])
+
+    H = code.H.to_dense().astype(np.int64)
+    assert all(((H @ e.astype(np.int64)) % 2).any() for e in pats)
+
+    info_pos = np.asarray(ex._info_pos)
+    w_info = pats[:, info_pos].sum(axis=1).astype(np.int64)
+    ref_hist = np.bincount(w_info, minlength=ex.k_active + 1)
+    assert np.array_equal(ref_hist, hd.astype(ref_hist.dtype))
+
+
+def test_trapping_census_classes():
+    code = load_code("builtin:wimax_576_0.5.alist.txt")
+    pats, seen, frames = collect_failure_patterns(
+        code, _opts(), SNR, min_patterns=10, max_blocks=4096,
+        say=lambda *a, **k: None,
+    )
+    assert len(pats) >= 10 and frames <= 4096
+    census = trapping_census(pats, code)
+    assert census["patterns"] == len(pats)
+    assert sum(census["classes"].values()) == len(pats)
+    # detected failures always leave unsatisfied checks: b >= 1 in every class
+    assert all(int(k.split(",")[1]) >= 1 for k in census["classes"])
+    for r in census["recurring_supports"]:
+        assert r["count"] > 1 and r["a"] == len(r["support"])
 
 
 def test_cli_failure_profile_export(tmp_path):
