@@ -15,6 +15,11 @@ from ldpc_tpu.analysis.failures import (
     trapping_census,
     weight_summary,
 )
+from ldpc_tpu.analysis.learned_minsum import (
+    evaluate_alphas,
+    make_unrolled_minsum,
+    train_alphas,
+)
 from ldpc_tpu.analysis.exit import (
     cnd_curve,
     edge_degree_distributions,
@@ -40,6 +45,9 @@ __all__ = [
     "j_inverse",
     "tunnel_gap",
     "vnd_curve",
+    "evaluate_alphas",
+    "make_unrolled_minsum",
+    "train_alphas",
     "collect_failure_patterns",
     "make_pattern_profiler",
     "make_profiler",

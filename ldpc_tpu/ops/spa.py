@@ -110,6 +110,37 @@ def exclusive_combine(values, op):
     return [op2(p, s) for p, s in zip(prefix, suffix)]
 
 
+def minsum_excl_update(M: jax.Array, slot_valid: jax.Array, dtype):
+    """Leave-one-out min-sum check update over the padded edge layout.
+
+    Returns ``(excl_sign, excl_min)`` per slot of ``M`` [..., m, dc]. Shared
+    by the decode loop and the differentiable unrolled decoder
+    (ldpc_tpu.analysis.learned_minsum) so train and inference use the same
+    forward. Padding magnitude is a large FINITE value: inf would turn a
+    degree-1 check's extrinsic into inf and poison L - E with NaN.
+    """
+    pad_mag = jnp.asarray(1e30, dtype)
+    sgn = jnp.where(slot_valid, _signs(M), jnp.ones((), dtype))
+    mag = jnp.where(slot_valid, jnp.abs(M), pad_mag)
+    # total sign via negative-count parity, NOT jnp.prod: a reduce-prod
+    # over the dc axis inside the decode loop SIGSEGVs the XLA:TPU
+    # compiler (observed on v5e; min/sum reductions are fine)
+    neg = jnp.sum((sgn < 0).astype(jnp.int32), axis=-1, keepdims=True)
+    total_sign = (1 - 2 * (neg % 2)).astype(dtype)
+    excl_sign = total_sign * sgn  # sign in {+-1}: division == multiplication
+    # two-min via value masks, not argmin+one_hot: the latter pattern
+    # inside the while-loop SIGSEGVs the XLA:TPU compiler (observed on
+    # v5e), and masks are cheaper anyway. Tie semantics are identical:
+    # a duplicated minimum means every min slot's exclusive min is still
+    # min1 (min2 == min1 from the other duplicate).
+    min1 = jnp.min(mag, axis=-1, keepdims=True)
+    is_min = mag == min1
+    multi = jnp.sum(is_min, axis=-1, keepdims=True) > 1
+    min2 = jnp.min(jnp.where(is_min, pad_mag, mag), axis=-1, keepdims=True)
+    excl_min = jnp.where(is_min & ~multi, min2, min1)
+    return excl_sign, excl_min
+
+
 def make_decoder(
     layout,
     info_pos: np.ndarray,
@@ -164,7 +195,19 @@ def make_decoder(
     k = info_pos.shape[0]
     prod_clip = _prod_clip(dtype)
 
-    def check_node_update(M: jax.Array) -> jax.Array:
+    # per-iteration normalized-min-sum weights (learned schedules,
+    # ldpc_tpu.analysis.learned_minsum): alpha may be a length-T vector
+    # applied as alpha[min(it, T-1)]. A scalar keeps the original
+    # trace-time-constant path (bit-identical, Pallas-eligible).
+    alpha_seq = None
+    if np.ndim(alpha) > 0:
+        if variant != "normalized_minsum":
+            raise ValueError(
+                "per-iteration alpha requires variant='normalized_minsum'"
+            )
+        alpha_seq = jnp.asarray(alpha, dtype)
+
+    def check_node_update(M: jax.Array, alpha_t=None) -> jax.Array:
         if variant == "spa":
             t = jnp.tanh(jnp.clip(M / 2.0, -TANH_IN_CLIP, TANH_IN_CLIP))
             t = jnp.clip(t, -prod_clip, prod_clip)
@@ -174,30 +217,9 @@ def make_decoder(
             # 2*atanh(p) in log form -- same expression as the Pallas kernel
             # (Mosaic has no atanh primitive), so both paths agree bit-for-bit
             return jnp.log((1.0 + prod) / (1.0 - prod))
-        # min-sum family: sign via exclusive product, magnitude via two-min.
-        # Padding magnitude is a large FINITE value: inf would turn a
-        # degree-1 check's extrinsic into inf and poison L - E with NaN.
-        pad_mag = jnp.asarray(1e30, dtype)
-        sgn = jnp.where(slot_valid, _signs(M), jnp.ones((), dtype))
-        mag = jnp.where(slot_valid, jnp.abs(M), pad_mag)
-        # total sign via negative-count parity, NOT jnp.prod: a reduce-prod
-        # over the dc axis inside this decode loop SIGSEGVs the XLA:TPU
-        # compiler (observed on v5e; min/sum reductions are fine)
-        neg = jnp.sum((sgn < 0).astype(jnp.int32), axis=-1, keepdims=True)
-        total_sign = (1 - 2 * (neg % 2)).astype(dtype)
-        excl_sign = total_sign * sgn  # sign in {+-1}: division == multiplication
-        # two-min via value masks, not argmin+one_hot: the latter pattern
-        # inside this while-loop SIGSEGVs the XLA:TPU compiler (observed on
-        # v5e), and masks are cheaper anyway. Tie semantics are identical:
-        # a duplicated minimum means every min slot's exclusive min is still
-        # min1 (min2 == min1 from the other duplicate).
-        min1 = jnp.min(mag, axis=-1, keepdims=True)
-        is_min = mag == min1
-        multi = jnp.sum(is_min, axis=-1, keepdims=True) > 1
-        min2 = jnp.min(jnp.where(is_min, pad_mag, mag), axis=-1, keepdims=True)
-        excl_min = jnp.where(is_min & ~multi, min2, min1)
+        excl_sign, excl_min = minsum_excl_update(M, slot_valid, dtype)
         if variant == "normalized_minsum":
-            excl_min = alpha * excl_min
+            excl_min = (alpha if alpha_t is None else alpha_t) * excl_min
         elif variant == "offset_minsum":
             excl_min = jnp.maximum(excl_min - beta, 0.0)
         elif variant != "minsum":
@@ -246,7 +268,11 @@ def make_decoder(
 
             if quantize_msgs is not None:
                 M = quantize_msgs(M)
-            E = check_node_update(M)
+            a_t = (
+                None if alpha_seq is None
+                else alpha_seq[jnp.minimum(it, alpha_seq.shape[0] - 1)]
+            )
+            E = check_node_update(M, a_t)
             E = jnp.where(slot_valid, E, jnp.zeros((), dtype))
 
             # posterior: L = llr + sum of incoming E per variable
