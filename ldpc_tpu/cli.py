@@ -21,6 +21,14 @@ from datetime import datetime
 from ldpc_tpu.sim.config import SimOptions
 
 
+def _parse_alpha(s: str):
+    """'0.75' -> 0.75; '0.64,0.73,0.81' -> per-iteration schedule tuple."""
+    parts = [float(x) for x in s.split(",") if x.strip()]
+    if not parts:
+        raise argparse.ArgumentTypeError("empty --minsum-alpha")
+    return parts[0] if len(parts) == 1 else tuple(parts)
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="ldpc_tpu",
@@ -136,8 +144,11 @@ Examples:
                         help="Message-passing schedule: 'flooding' (the reference's) "
                              "or 'layered' serial-C for QC codes (~2x fewer "
                              "iterations to a given FER)")
-    parser.add_argument("--minsum-alpha", type=float, default=0.75,
-                        help="Normalized min-sum scale factor")
+    parser.add_argument("--minsum-alpha", type=_parse_alpha, default=0.75,
+                        help="Normalized min-sum scale factor, or a "
+                             "comma-separated per-iteration schedule (e.g. a "
+                             "learned one, ldpc_tpu.analysis.learned_minsum; "
+                             "schedules decode on the XLA flooding path)")
     parser.add_argument("--minsum-beta", type=float, default=0.15,
                         help="Offset min-sum offset")
     parser.add_argument("--checkpoint", type=str, default=None,

@@ -97,7 +97,10 @@ class SimOptions:
     schedule: str = "flooding"  # 'flooding' (reference schedule) | 'layered' (QC serial-C)
     seed: int = 0
     exact_ber: bool = False  # also count undetected-error bits (not just failed frames)
-    minsum_alpha: float = 0.75
+    # scalar, or a per-iteration schedule (tuple) -- e.g. a learned one
+    # (ldpc_tpu.analysis.learned_minsum); schedules decode on the XLA
+    # flooding path (the Pallas kernels bake a trace-time-constant alpha)
+    minsum_alpha: float | tuple[float, ...] = 0.75
     minsum_beta: float = 0.15
     quiet: bool = False
 

@@ -79,6 +79,63 @@ def test_unrolled_first_iteration_matches_decoder(wimax):
     assert np.array_equal(np.asarray(est_unrolled), np.asarray(res.est))
 
 
+def test_cli_alpha_schedule_parsing():
+    from ldpc_tpu.cli import build_parser, options_from_args
+
+    base = ["--matrix", "m", "--decoder", "normalized-minsum"]
+    o = options_from_args(build_parser().parse_args(
+        base + ["--minsum-alpha", "0.8125"]
+    ))
+    assert o.minsum_alpha == 0.8125
+    o = options_from_args(build_parser().parse_args(
+        base + ["--minsum-alpha", "0.64,0.73,0.81"]
+    ))
+    assert o.minsum_alpha == (0.64, 0.73, 0.81)
+
+
+def test_cli_sweep_with_alpha_schedule(wimax, tmp_path):
+    """End-to-end CLI run decoding with a per-iteration schedule."""
+    import json
+
+    from ldpc_tpu.cli import main as cli_main
+
+    out = tmp_path / "r.json"
+    rc = cli_main([
+        "--matrix", "builtin:wimax_576_0.5.alist.txt",
+        "--blocks", "128", "--batch", "128", "--iterations", "3",
+        "--ber", "--fer", "--fidelity", "exact", "--speed", "0.5",
+        "--decoder", "normalized-minsum",
+        "--minsum-alpha", "0.64,0.73,0.81",
+        "--initial-snr", "2.0", "--end-snr", "2.0", "--step-snr", "1",
+        "--output-json", str(out), "--quiet",
+    ])
+    assert rc == 0
+    pts = json.loads(out.read_text())["snr_points"]
+    assert len(pts) == 1 and 0 < pts[0]["fer"] <= 1
+
+
+@pytest.mark.parametrize("argv,match", [
+    (["--schedule", "layered"], "flooding"),
+    (["--kernel", "pallas"], "constant alpha"),
+    (["--fused", "on"], "scalar"),
+    (["--decoder", "minsum"], "normalized-minsum"),
+])
+def test_alpha_schedule_invalid_configs(argv, match):
+    from ldpc_tpu.cli import build_parser, options_from_args
+    from ldpc_tpu.sim.runner import PointExecutor
+
+    code = load_code("builtin:wimax_576_0.5.alist.txt")
+    base = [
+        "--matrix", "x", "--fidelity", "exact", "--batch", "64",
+        "--iterations", "3", "--minsum-alpha", "0.6,0.7,0.8",
+    ]
+    if "--decoder" not in argv:
+        base += ["--decoder", "normalized-minsum"]
+    opts = options_from_args(build_parser().parse_args(base + argv))
+    with pytest.raises(ValueError, match=match):
+        PointExecutor(code, opts)
+
+
 @slow
 def test_training_learns_useful_schedule(wimax):
     """Loss decreases, the schedule stays in-range, and the learned
