@@ -12,6 +12,7 @@ from ldpc_tpu.analysis.failures import (
     make_pattern_profiler,
     make_profiler,
     profile_point,
+    profile_sweep,
     trapping_census,
     weight_summary,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "make_pattern_profiler",
     "make_profiler",
     "profile_point",
+    "profile_sweep",
     "trapping_census",
     "weight_summary",
 ]

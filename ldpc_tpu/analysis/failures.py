@@ -35,11 +35,19 @@ def make_profiler(executor, k_active: int):
     Returns ``chunk(key_point, start, consts, n_steps) ->
     (hist_detected, hist_undetected, frames)`` where the histograms are
     f32[k_active+1] counts over info-bit error weight. Key folding matches
-    PointExecutor.run_point, so the profiled stream IS the stream a normal
-    run at this point would decode. Requires the executor built with
-    fused='off' (per-frame stats) and exact_ber=True (undetected errors
-    counted: metrics.block_stats).
+    PointExecutor.run_point, so (for the same point index) the profiled
+    stream IS the stream a normal run at this point would decode. Works
+    with fused and unfused executors (both steps yield per-frame stats);
+    requires exact_ber=True, without which metrics.block_stats zeroes the
+    error bits of syndrome-passing frames and the undetected-error
+    histogram would be silently empty.
     """
+    if not executor.opts.exact_ber:
+        raise ValueError(
+            "failure profiling needs exact_ber=True: without it the "
+            "undetected-error histogram is silently empty "
+            "(metrics.block_stats zeroes error bits of accepted frames)"
+        )
     step = executor._step
     nbins = k_active + 1
 
@@ -68,14 +76,17 @@ def make_profiler(executor, k_active: int):
 
 
 def profile_point(code, opts, snr_db: float, min_failures: int,
-                  max_blocks: int, say=print, executor=None):
+                  max_blocks: int, say=print, executor=None,
+                  point_index: int = 0):
     """Decode until ``min_failures`` detected failures (or ``max_blocks``
     frames), histogramming failure weights on-device.
 
-    ``opts`` must carry ``fused='off'`` and ``exact_ber=True``; see
-    :func:`make_profiler`. Pass ``executor`` to reuse one compiled step
-    across SNR points. Returns ``(hist_detected, hist_undetected, frames)``
-    as numpy arrays / int.
+    ``opts`` must carry ``exact_ber=True``; see :func:`make_profiler`. Pass
+    ``executor`` to reuse one compiled step across SNR points and
+    ``point_index`` (the point's index in the sweep grid) to profile the
+    exact frame stream ``run_point`` would decode at that point -- it also
+    decorrelates the noise draws of different SNR points. Returns
+    ``(hist_detected, hist_undetected, frames)`` as numpy arrays / int.
     """
     from ldpc_tpu.ops.channel import ChannelParams
     from ldpc_tpu.sim.runner import PointExecutor
@@ -86,12 +97,13 @@ def profile_point(code, opts, snr_db: float, min_failures: int,
     prof = getattr(ex, "_failure_profiler", None)
     if prof is None:
         prof = ex._failure_profiler = make_profiler(ex, ex.k_active)
+    opts = opts.resolved()  # fidelity presets -> concrete noise_model etc.
     consts = ChannelParams(
         mode=opts.mode, modulation=opts.modulation, speed=opts.speed,
         snr_db=snr_db, interference_snr_db=opts.interference_snr, p=opts.p,
         noise_model=opts.noise_model,
     ).consts()
-    key_point = jax.random.fold_in(jax.random.key(opts.seed), 0)
+    key_point = jax.random.fold_in(jax.random.key(opts.seed), point_index)
     hd = np.zeros(ex.k_active + 1)
     hu = np.zeros(ex.k_active + 1)
     frames = 0
@@ -164,23 +176,31 @@ def make_pattern_profiler(executor, max_patterns: int = 256):
 
 def collect_failure_patterns(code, opts, snr_db: float, min_patterns: int,
                              max_blocks: int, max_patterns: int = 256,
-                             say=print, executor=None):
+                             say=print, executor=None, point_index: int = 0):
     """Residual error vectors of detected failures at one SNR point.
 
     Returns ``(patterns, failures_seen, frames)`` with ``patterns`` a uint8
-    [min(failures_seen, max_patterns), n] numpy array.
+    [min(failures_seen, max_patterns), n] numpy array. ``executor`` /
+    ``point_index`` as in :func:`profile_point`.
     """
     from ldpc_tpu.ops.channel import ChannelParams
     from ldpc_tpu.sim.runner import PointExecutor
 
     ex = executor if executor is not None else PointExecutor(code, opts)
-    prof = make_pattern_profiler(ex, max_patterns)
+    # same compile-cache consideration as profile_point, keyed by buffer size
+    cache = getattr(ex, "_pattern_profilers", None)
+    if cache is None:
+        cache = ex._pattern_profilers = {}
+    prof = cache.get(max_patterns)
+    if prof is None:
+        prof = cache[max_patterns] = make_pattern_profiler(ex, max_patterns)
+    opts = opts.resolved()  # fidelity presets -> concrete noise_model etc.
     consts = ChannelParams(
         mode=opts.mode, modulation=opts.modulation, speed=opts.speed,
         snr_db=snr_db, interference_snr_db=opts.interference_snr, p=opts.p,
         noise_model=opts.noise_model,
     ).consts()
-    key_point = jax.random.fold_in(jax.random.key(opts.seed), 0)
+    key_point = jax.random.fold_in(jax.random.key(opts.seed), point_index)
     buf = np.zeros((max_patterns, code.n), np.uint8)
     seen = 0
     frames = 0
@@ -254,10 +274,11 @@ def profile_sweep(code, opts, snrs, min_failures: int, max_blocks: int,
 
     ex = PointExecutor(code, opts)
     out = {}
-    for snr in snrs:
+    for idx, snr in enumerate(snrs):
         say(f"profiling failures at {snr:g} dB")
         hd, hu, frames = profile_point(
-            code, opts, snr, min_failures, max_blocks, say=say, executor=ex
+            code, opts, snr, min_failures, max_blocks, say=say, executor=ex,
+            point_index=idx,
         )
         out[snr] = {
             "frames": frames,

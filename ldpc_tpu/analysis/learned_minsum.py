@@ -98,6 +98,11 @@ def train_alphas(
     k = code.k
 
     # alpha = 1.5 * sigmoid(raw): positive, bounded, init at init_alpha
+    if not 0.0 < init_alpha < 1.5:
+        raise ValueError(
+            f"init_alpha={init_alpha} outside the schedule's (0, 1.5) "
+            "sigmoid parametrization range"
+        )
     raw0 = jnp.full(
         (iters,), float(np.log(init_alpha / (1.5 - init_alpha))), jnp.float32
     )
