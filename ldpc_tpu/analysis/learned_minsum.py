@@ -24,23 +24,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ldpc_tpu.ops.spa import minsum_excl_update
+from ldpc_tpu.ops.spa import check_degree_classes, minsum_excl_update
 
 
-def make_unrolled_minsum(layout, iters: int, dtype=jnp.float32):
+def make_unrolled_minsum(layout, iters: int, dtype=jnp.float32,
+                         per_degree: bool = False):
     """Differentiable unrolled normalized min-sum (exact rule, orig graph).
 
-    Returns ``posteriors(alphas [T], llr [B, n]) -> [T, B, n]`` posteriors
-    in the log(p0/p1) domain (bit = 1 <=> L < 0), one per iteration. Input
-    LLRs use the channel convention LLR > 0 <=> bit 1. No early exit and no
-    hard decisions inside -- every operation is differentiable (the min and
-    sign factors are piecewise differentiable, as in all neural min-sum
-    work).
+    Returns ``posteriors(alphas, llr [B, n]) -> [T, B, n]`` posteriors
+    in the log(p0/p1) domain (bit = 1 <=> L < 0), one per iteration; alphas
+    is [T], or [T, D] with ``per_degree=True`` (D = distinct check degrees
+    ascending, ops.spa.check_degree_classes). Input LLRs use the channel
+    convention LLR > 0 <=> bit 1. No early exit and no hard decisions
+    inside -- every operation is differentiable (the min and sign factors
+    are piecewise differentiable, as in all neural min-sum work).
     """
     n, m, dc = layout.n, layout.m, layout.dc
     chk_var = jnp.asarray(layout.chk_var)  # [m, dc] pad = n
     var_edge = jnp.asarray(layout.var_edge)  # [n, dv] pad = m*dc
     slot_valid = jnp.asarray(layout.chk_var < layout.n)
+    deg_idx = (
+        jnp.asarray(check_degree_classes(layout)[0]) if per_degree else None
+    )
 
     def posteriors(alphas: jax.Array, llr: jax.Array) -> jax.Array:
         lc = -llr.astype(dtype)  # exact rule: log(p0/p1) domain
@@ -50,7 +55,11 @@ def make_unrolled_minsum(layout, iters: int, dtype=jnp.float32):
         outs = []
         for t in range(iters):
             sgn, mag = minsum_excl_update(M, slot_valid, dtype)
-            E = sgn * (alphas[t] * mag)
+            a_t = (
+                alphas[t][deg_idx][None, :, None] if per_degree
+                else alphas[t]
+            )
+            E = sgn * (a_t * mag)
             E = jnp.where(slot_valid, E, jnp.zeros((), dtype))
             E_flat = jnp.pad(E.reshape(B, m * dc), ((0, 0), (0, 1)))
             L = lc + jnp.sum(jnp.take(E_flat, var_edge, axis=1), axis=-1)
@@ -73,11 +82,14 @@ def train_alphas(
     seed: int = 0,
     init_alpha: float = 0.75,
     speed: float | None = None,
+    per_degree: bool = False,
     say=print,
 ):
     """Learn a per-iteration alpha schedule at one operating point.
 
-    Returns ``(alphas [T] numpy, losses [steps])``. ``speed`` follows the
+    Returns ``(alphas numpy, losses [steps])`` with alphas [T], or [T, D]
+    degree-specific weights when ``per_degree=True`` (arXiv:2107.04221;
+    deployable directly via make_decoder's alpha). ``speed`` follows the
     CLI semantics (Eb/N0 axis scale; defaults to the code rate so snr_db is
     per info bit). Training uses mode-1 BPSK with exact noise.
     """
@@ -94,7 +106,7 @@ def train_alphas(
         mode=1, modulation=1, speed=speed if speed is not None else code.rate,
         snr_db=snr_db, noise_model="exact",
     ).consts()
-    unrolled = make_unrolled_minsum(layout, iters)
+    unrolled = make_unrolled_minsum(layout, iters, per_degree=per_degree)
     k = code.k
 
     # alpha = 1.5 * sigmoid(raw): positive, bounded, init at init_alpha
@@ -103,8 +115,12 @@ def train_alphas(
             f"init_alpha={init_alpha} outside the schedule's (0, 1.5) "
             "sigmoid parametrization range"
         )
+    shape = (
+        (iters, len(check_degree_classes(layout)[1])) if per_degree
+        else (iters,)
+    )
     raw0 = jnp.full(
-        (iters,), float(np.log(init_alpha / (1.5 - init_alpha))), jnp.float32
+        shape, float(np.log(init_alpha / (1.5 - init_alpha))), jnp.float32
     )
 
     def loss_fn(raw, key):

@@ -110,6 +110,20 @@ def exclusive_combine(values, op):
     return [op2(p, s) for p, s in zip(prefix, suffix)]
 
 
+def check_degree_classes(layout):
+    """Distinct check degrees of a graph: ``(deg_idx [m], degrees)``.
+
+    ``degrees`` lists the distinct row degrees ascending; ``deg_idx[i]`` is
+    row i's index into it. The degree axis of degree-specific min-sum
+    weights ([T, D] alpha in make_decoder / learned_minsum) follows this
+    order.
+    """
+    deg = np.sum(np.asarray(layout.chk_var) < layout.n, axis=1)
+    degrees = sorted(int(d) for d in set(deg.tolist()))
+    lookup = {d: i for i, d in enumerate(degrees)}
+    return np.asarray([lookup[int(d)] for d in deg], np.int32), degrees
+
+
 def minsum_excl_update(M: jax.Array, slot_valid: jax.Array, dtype):
     """Leave-one-out min-sum check update over the padded edge layout.
 
@@ -197,15 +211,27 @@ def make_decoder(
 
     # per-iteration normalized-min-sum weights (learned schedules,
     # ldpc_tpu.analysis.learned_minsum): alpha may be a length-T vector
-    # applied as alpha[min(it, T-1)]. A scalar keeps the original
-    # trace-time-constant path (bit-identical, Pallas-eligible).
+    # applied as alpha[min(it, T-1)], or a [T, D] matrix of degree-specific
+    # weights (D = distinct check degrees, ascending; arXiv:2107.04221).
+    # A scalar keeps the original trace-time-constant path (bit-identical,
+    # Pallas-eligible).
     alpha_seq = None
+    deg_idx = None
     if np.ndim(alpha) > 0:
         if variant != "normalized_minsum":
             raise ValueError(
                 "per-iteration alpha requires variant='normalized_minsum'"
             )
         alpha_seq = jnp.asarray(alpha, dtype)
+        if alpha_seq.ndim == 2:
+            idx, degrees = check_degree_classes(layout)
+            if alpha_seq.shape[1] != len(degrees):
+                raise ValueError(
+                    f"alpha has {alpha_seq.shape[1]} degree classes but the "
+                    f"graph has {len(degrees)} distinct check degrees "
+                    f"{degrees}"
+                )
+            deg_idx = jnp.asarray(idx)
 
     def check_node_update(M: jax.Array, alpha_t=None) -> jax.Array:
         if variant == "spa":
@@ -268,10 +294,14 @@ def make_decoder(
 
             if quantize_msgs is not None:
                 M = quantize_msgs(M)
-            a_t = (
-                None if alpha_seq is None
-                else alpha_seq[jnp.minimum(it, alpha_seq.shape[0] - 1)]
-            )
+            if alpha_seq is None:
+                a_t = None
+            else:
+                a_t = alpha_seq[jnp.minimum(it, alpha_seq.shape[0] - 1)]
+                if deg_idx is not None:
+                    # degree-specific: one weight per check row, broadcast
+                    # over the batch and slot axes of excl_min [B, m, dc]
+                    a_t = a_t[deg_idx][None, :, None]
             E = check_node_update(M, a_t)
             E = jnp.where(slot_valid, E, jnp.zeros((), dtype))
 

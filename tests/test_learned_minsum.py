@@ -79,6 +79,40 @@ def test_unrolled_first_iteration_matches_decoder(wimax):
     assert np.array_equal(np.asarray(est_unrolled), np.asarray(res.est))
 
 
+def test_degree_specific_weights(wimax):
+    """[T, D] degree-specific weights: constant matrix == scalar decoder
+    bit-for-bit; distinct per-degree values agree between the unrolled
+    forward and the production decoder."""
+    from ldpc_tpu.ops.spa import check_degree_classes
+
+    code = wimax
+    layout = code.layout("orig")
+    info = code.standard_encode_spec.info_pos("orig")
+    deg_idx, degrees = check_degree_classes(layout)
+    assert len(degrees) >= 2 and deg_idx.shape == (code.m,)
+
+    _, _, llr = _llrs(code, 32, seed=6)
+    d_s = make_decoder(layout, info, 6, "normalized_minsum", alpha=0.8125)
+    d_m = make_decoder(layout, info, 6, "normalized_minsum",
+                       alpha=np.full((6, len(degrees)), 0.8125))
+    r1, r2 = d_s(llr), d_m(llr)
+    assert np.array_equal(np.asarray(r1.est), np.asarray(r2.est))
+    assert np.array_equal(np.asarray(r1.ok), np.asarray(r2.ok))
+
+    # distinct per-degree values: unrolled forward == decoder, iteration 1
+    a = np.linspace(0.6, 0.9, len(degrees))[None, :]  # [1, D]
+    Ls = make_unrolled_minsum(layout, 1, per_degree=True)(jnp.asarray(a), llr)
+    d1 = make_decoder(layout, info, 1, "normalized_minsum", alpha=a,
+                      early_exit=False)
+    assert np.array_equal(
+        (np.asarray(Ls[0]) < 0).astype(np.uint8), np.asarray(d1(llr).est)
+    )
+
+    with pytest.raises(ValueError, match="degree classes"):
+        make_decoder(layout, info, 4, "normalized_minsum",
+                     alpha=np.full((4, len(degrees) + 1), 0.8))
+
+
 def test_cli_alpha_schedule_parsing():
     from ldpc_tpu.cli import build_parser, options_from_args
 
@@ -154,3 +188,20 @@ def test_training_learns_useful_schedule(wimax):
                               batch=256)
     assert base["frames"] == learned["frames"]
     assert learned["fer"] <= base["fer"]
+
+
+@slow
+def test_training_per_degree(wimax):
+    from ldpc_tpu.ops.spa import check_degree_classes
+
+    code = wimax
+    n_deg = len(check_degree_classes(code.layout("orig"))[1])
+    alphas, losses = train_alphas(
+        code, 2.0, iters=4, steps=25, batch=64, lr=0.05, seed=0,
+        per_degree=True, say=lambda *a, **k: None,
+    )
+    assert alphas.shape == (4, n_deg)
+    assert np.all((alphas > 0) & (alphas < 1.5))
+    # the learned matrix deploys through the production decoder
+    r = evaluate_alphas(code, alphas, 2.0, iters=4, blocks=512, batch=256)
+    assert 0 <= r["fer"] <= 1
