@@ -124,17 +124,35 @@ def profile_point(code, opts, snr_db: float, min_failures: int,
     return hd, hu, frames
 
 
-def make_pattern_profiler(executor, max_patterns: int = 256):
-    """Jitted scan capturing residual error vectors of detected failures.
+def make_pattern_profiler(executor, max_patterns: int = 256,
+                          kind: str = "detected"):
+    """Jitted scan capturing residual error vectors of failing frames.
 
     Returns ``chunk(key_point, start, consts, n_steps) -> (buf, count)``:
     ``buf`` is uint8 [max_patterns, n] holding the first ``max_patterns``
-    residuals e = est XOR w of frames whose syndrome check failed (w is a
-    valid codeword, so H@e = H@est != 0); ``count`` is the total number of
-    detected failures seen (may exceed the buffer). The buffer is filled
-    on-device -- host traffic per dispatch group is one [K, n] fetch
-    regardless of batch count. Requires an unfused executor (fused='off').
+    residuals e = est XOR w of the selected frames; ``count`` is the total
+    number seen (may exceed the buffer). ``kind``:
+
+    * ``'detected'`` -- syndrome check failed: H@e = H@est != 0 (w is a
+      valid codeword); supports are trapping-set candidates.
+    * ``'undetected'`` -- syndrome passed but info bits are wrong: the
+      residual is itself a NONZERO CODEWORD (H@e = 0), so every captured
+      pattern's weight is an upper bound on the code's minimum distance
+      and its support is an explicit minimum-weight-neighborhood codeword.
+      Requires exact_ber=True (otherwise error_bits is zeroed for accepted
+      frames and no frame ever selects).
+
+    The buffer is filled on-device -- host traffic per dispatch group is
+    one [K, n] fetch regardless of batch count. Requires an unfused
+    executor (fused='off').
     """
+    if kind not in ("detected", "undetected"):
+        raise ValueError(f"kind must be 'detected' or 'undetected': {kind!r}")
+    if kind == "undetected" and not executor.opts.exact_ber:
+        raise ValueError(
+            "undetected-error capture needs exact_ber=True: without it "
+            "error_bits is zeroed for syndrome-passing frames"
+        )
     builder = getattr(executor, "_pattern_step_builder", None)
     if builder is None:
         raise ValueError(
@@ -153,7 +171,10 @@ def make_pattern_profiler(executor, max_patterns: int = 256):
             buf, cnt = carry
             key = jax.random.fold_in(key_point, start + i)
             stats, _, resid = pstep(key, consts)
-            failed = ~stats.ok  # bool [B]
+            if kind == "detected":
+                failed = ~stats.ok  # bool [B]
+            else:
+                failed = stats.ok & (stats.error_bits > 0)
             # pack failed rows first (argsort is stable: batch order kept)
             order = jnp.argsort(jnp.logical_not(failed))
             # fixed accumulator dtype: under x64, sum() would promote the
@@ -176,24 +197,28 @@ def make_pattern_profiler(executor, max_patterns: int = 256):
 
 def collect_failure_patterns(code, opts, snr_db: float, min_patterns: int,
                              max_blocks: int, max_patterns: int = 256,
-                             say=print, executor=None, point_index: int = 0):
-    """Residual error vectors of detected failures at one SNR point.
+                             say=print, executor=None, point_index: int = 0,
+                             kind: str = "detected"):
+    """Residual error vectors of failing frames at one SNR point.
 
     Returns ``(patterns, failures_seen, frames)`` with ``patterns`` a uint8
     [min(failures_seen, max_patterns), n] numpy array. ``executor`` /
-    ``point_index`` as in :func:`profile_point`.
+    ``point_index`` as in :func:`profile_point`; ``kind`` as in
+    :func:`make_pattern_profiler`.
     """
     from ldpc_tpu.ops.channel import ChannelParams
     from ldpc_tpu.sim.runner import PointExecutor
 
     ex = executor if executor is not None else PointExecutor(code, opts)
-    # same compile-cache consideration as profile_point, keyed by buffer size
+    # same compile-cache consideration as profile_point, keyed by config
     cache = getattr(ex, "_pattern_profilers", None)
     if cache is None:
         cache = ex._pattern_profilers = {}
-    prof = cache.get(max_patterns)
+    prof = cache.get((max_patterns, kind))
     if prof is None:
-        prof = cache[max_patterns] = make_pattern_profiler(ex, max_patterns)
+        prof = cache[(max_patterns, kind)] = make_pattern_profiler(
+            ex, max_patterns, kind
+        )
     opts = opts.resolved()  # fidelity presets -> concrete noise_model etc.
     consts = ChannelParams(
         mode=opts.mode, modulation=opts.modulation, speed=opts.speed,

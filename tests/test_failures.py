@@ -9,6 +9,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ldpc_tpu.analysis.failures import (
     collect_failure_patterns,
@@ -138,6 +139,65 @@ def test_trapping_census_classes():
     assert all(int(k.split(",")[1]) >= 1 for k in census["classes"])
     for r in census["recurring_supports"]:
         assert r["count"] > 1 and r["a"] == len(r["support"])
+
+
+def test_undetected_capture_yields_codewords():
+    """kind='undetected' selects syndrome-passing wrong frames; their
+    residuals are nonzero CODEWORDS (b = 0 in the census), each an explicit
+    minimum-distance upper bound. Exercised with a stubbed pattern step so
+    the selection logic is tested without waiting for a rare real event."""
+    from ldpc_tpu.analysis.failures import make_pattern_profiler
+    from ldpc_tpu.ops.encode import make_encoder
+    from ldpc_tpu.ops.metrics import BlockStats
+
+    code = load_code("builtin:wimax_576_0.5.alist.txt")
+    opts = _opts()
+    ex = PointExecutor(code, opts)
+
+    # craft one true codeword as the wrong-convergence residual
+    u1 = np.zeros((1, code.k), np.uint8)
+    u1[0, 3] = 1
+    c = np.asarray(make_encoder(code.standard_encode_spec, "orig")(
+        jnp.asarray(u1)))[0]
+    assert c.sum() > 0 and not code.syndrome_orig(c).any()  # codeword
+
+    B = opts.batch
+    ok = np.ones(B, bool)
+    ok[5] = False  # one detected failure: must NOT be captured
+    err = np.zeros(B, np.int32)
+    err[2] = err[7] = int(u1.sum())  # two undetected frames
+    err[5] = 17
+    resid = np.zeros((B, code.n), np.uint8)
+    resid[2] = resid[7] = c
+    resid[5] = 1  # garbage; detected row, excluded by the undetected filter
+    stats = BlockStats(
+        error_bits=jnp.asarray(err), ok=jnp.asarray(ok),
+        conv_iter=jnp.zeros(B, jnp.int32), norm_llr=jnp.zeros(B, jnp.float32),
+    )
+    ex._pattern_step = lambda key, consts: (stats, jnp.int32(1),
+                                            jnp.asarray(resid))
+
+    chunk = make_pattern_profiler(ex, 8, kind="undetected")
+    consts = ChannelParams(
+        mode=1, modulation=1, speed=0.5, snr_db=SNR, noise_model="exact"
+    ).consts()
+    buf, cnt = chunk(jax.random.key(0), jnp.int32(0), consts, 2)
+    assert int(cnt) == 4  # 2 undetected frames x 2 scan steps
+    pats = np.asarray(buf[:4])
+    assert all(np.array_equal(p, c) for p in pats)
+
+    census = trapping_census(pats, code)
+    # every class has b == 0: the residuals are codewords
+    assert all(k.endswith(",0") for k in census["classes"])
+    assert census["recurring_supports"][0]["count"] == 4
+
+    with pytest.raises(ValueError, match="detected"):
+        make_pattern_profiler(ex, 8, kind="bogus")
+    import dataclasses
+
+    bad = PointExecutor(code, dataclasses.replace(opts, exact_ber=False))
+    with pytest.raises(ValueError, match="exact_ber"):
+        make_pattern_profiler(bad, 8, kind="undetected")
 
 
 def test_cli_failure_profile_export(tmp_path):
