@@ -16,6 +16,11 @@ from ldpc_tpu.analysis.failures import (
     trapping_census,
     weight_summary,
 )
+from ldpc_tpu.analysis.graph_stats import (
+    degree_histograms,
+    girth,
+    graph_stats,
+)
 from ldpc_tpu.analysis.learned_minsum import (
     evaluate_alphas,
     make_unrolled_minsum,
@@ -46,6 +51,9 @@ __all__ = [
     "j_inverse",
     "tunnel_gap",
     "vnd_curve",
+    "degree_histograms",
+    "girth",
+    "graph_stats",
     "evaluate_alphas",
     "make_unrolled_minsum",
     "train_alphas",
