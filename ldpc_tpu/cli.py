@@ -157,6 +157,10 @@ Examples:
                         help="Resume the sweep from --checkpoint (skips completed points)")
     parser.add_argument("--profile", type=str, default=None,
                         help="Capture a jax.profiler trace of the sweep into this directory")
+    parser.add_argument("--graph-stats", action="store_true",
+                        help="Print the code's Tanner-graph statistics "
+                             "(girth, degree histograms) as JSON and exit "
+                             "(ldpc_tpu.analysis.graph_stats)")
     parser.add_argument("--failure-profile", type=str, default=None,
                         metavar="FILE",
                         help="After the sweep, profile the failing frames at "
@@ -292,6 +296,18 @@ def main(argv: list[str] | None = None) -> int:
 
     opts = options_from_args(args).resolved()
     say = (lambda *a, **kw: None) if opts.quiet else print
+
+    if args.graph_stats:
+        import json
+
+        from ldpc_tpu.analysis.graph_stats import graph_stats
+        from ldpc_tpu.sim.runner import load_code
+
+        print(json.dumps(
+            graph_stats(load_code(opts.matrix), graph=opts.decode_graph),
+            indent=1,
+        ))
+        return 0
 
     say("=" * 60)
     say("ldpc_tpu - TPU-native LDPC link simulator")

@@ -41,6 +41,18 @@ def test_girth_handles_trees_and_tiny_cycles():
     assert girth(np.array([[1, 1, 1]])) is None
 
 
+def test_cli_graph_stats(capsys):
+    import json
+
+    from ldpc_tpu.cli import main as cli_main
+
+    rc = cli_main(["--matrix", "builtin:Tanner_155_64.alist.txt",
+                   "--graph-stats", "--fidelity", "exact"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out)
+    assert s["girth"] == 8 and s["n"] == 155 and s["graph"] == "orig"
+
+
 def test_graph_stats_summary():
     code = load_code("builtin:wimax_576_0.5.alist.txt")
     s = graph_stats(code)
