@@ -208,7 +208,11 @@ class PointExecutor:
         modulation: int | None = None,
         mesh: jax.sharding.Mesh | None = None,
         batch_axes: tuple[str, ...] = ("batch",),
+        step_vmapped: bool = False,
     ):
+        # step_vmapped: the caller will jax.vmap(self._step) (the parallel
+        # sweep stacks SNR points); the fused kernel's shard_map wrapper has
+        # no batching rule for that composition, so it stays ineligible there
         opts = opts.resolved()
         self.code = code
         self.opts = opts
@@ -297,7 +301,9 @@ class PointExecutor:
             and opts.mode in (1, 2, 3)
             and S == 0
             and P == 0
-            and mesh is None
+            # under a mesh the kernel runs per-shard via shard_map (needs a
+            # batch axis to shard over, and a step the caller won't vmap)
+            and (mesh is None or (bool(batch_axes) and not step_vmapped))
         )
         if fused_eligible:
             from ldpc_tpu.ops.mc_pallas import mc_kernel_fits
@@ -311,7 +317,8 @@ class PointExecutor:
                 "fused='on' requires a QC code, check_rule='exact', "
                 "decode_graph='orig', an SPA/min-sum variant with a scalar "
                 "--minsum-alpha, no interleaver, modulation 1/2, no "
-                "shorten/puncture, no mesh, and the kernel fitting VMEM "
+                "shorten/puncture, a mesh with a batch axis (or none) "
+                "outside the parallel sweep, and the kernel fitting VMEM "
                 "(--normalized-llr adds a scratch buffer to the VMEM plan)"
             )
         use_fused = opts.fused == "on" or (
@@ -353,24 +360,82 @@ class PointExecutor:
             draws = DRAWS_PER_BIT[opts.mode]
             n = code.n
 
+            mc_call = (
+                lambda wT, cv, seeds, raw=None, skip=None:
+                mc(wT, cv, seeds, skip=skip) if raw is None
+                else mc(wT, cv, seeds, raw, skip=skip)
+            )
+            if mesh is not None and batch_axes:
+                # pallas_call is opaque to XLA's SPMD partitioner, so the
+                # mesh path runs the kernel under shard_map: every device
+                # decodes its own batch shard with a local kernel instance
+                # and counters psum afterwards (XLA inserts the collectives
+                # from the sharded [B] outputs). 'hw' noise folds the
+                # linearized shard index into the seed so shards draw
+                # independent streams; 'input' noise consumes the shard's
+                # slice of the global draw tensor, so meshed and unmeshed
+                # fused runs are bit-identical (tests/test_sharding.py).
+                PS = jax.sharding.PartitionSpec
+                axis_sizes = [int(mesh.shape[a]) for a in batch_axes]
+
+                def _shard_seeds(seeds):
+                    idx = jnp.int32(0)
+                    for a, s in zip(batch_axes, axis_sizes):
+                        idx = idx * s + jax.lax.axis_index(a)
+                    # Weyl-mix into the SECOND seed word (the kernel mixes
+                    # the tile index into the first); int32 wrap intended
+                    return seeds.at[1].add(idx * jnp.int32(-1640531527))
+
+                def _local(wT, cv, seeds, raw, skip):
+                    if noise_source == "hw":
+                        seeds = _shard_seeds(seeds)
+                        return mc(wT, cv, seeds, skip=skip)
+                    return mc(wT, cv, seeds, raw, skip=skip)
+
+                raw_spec = (
+                    PS() if noise_source == "hw"
+                    else PS(None, None, batch_axes)
+                )
+                sharded_mc = jax.shard_map(
+                    _local,
+                    mesh=mesh,
+                    in_specs=(PS(None, batch_axes), PS(), PS(), raw_spec,
+                              PS()),
+                    out_specs=(PS(batch_axes),) * 5,
+                    # outputs vary only over the batch axes (shards along
+                    # any other mesh axis see identical inputs and seeds);
+                    # the kernel is opaque to the varying-axes checker
+                    check_vma=False,
+                )
+
+                def mc_call(wT, cv, seeds, raw=None, skip=None):
+                    if raw is None:
+                        raw = jnp.zeros((), jnp.uint32)  # unused ('hw')
+                    if skip is None:
+                        skip = jnp.zeros((), jnp.int32)
+                    return sharded_mc(wT, cv, seeds, raw, skip)
+
             def fused_step(key: jax.Array, consts: ChannelConsts,
                            skip: jax.Array | None = None):
                 k_u, k_noise = jax.random.split(key)
                 u = random_info_bits(k_u, batch, k)
+                if sharding is not None:
+                    u = jax.lax.with_sharding_constraint(u, sharding)
                 wT = encode_T(u)
                 cv = consts_vector(consts)
                 if noise_source == "hw":
                     seeds = jax.lax.bitcast_convert_type(
                         jax.random.bits(k_noise, (2,), jnp.uint32), jnp.int32
                     )
-                    err, ok, conv, norm, it_l = mc(wT, cv, seeds, skip=skip)
+                    err, ok, conv, norm, it_l = mc_call(wT, cv, seeds,
+                                                        skip=skip)
                 else:
                     seeds = jnp.zeros((2,), jnp.int32)
                     raw = jax.random.bits(
                         k_noise, (draws, n, batch), jnp.uint32
                     )
-                    err, ok, conv, norm, it_l = mc(wT, cv, seeds, raw,
-                                                   skip=skip)
+                    err, ok, conv, norm, it_l = mc_call(wT, cv, seeds, raw,
+                                                        skip=skip)
                 if not exact_ber:
                     # reference: bits counted only when decode failed
                     # (main.py:134); in-kernel err counts every frame
@@ -412,7 +477,7 @@ class PointExecutor:
             self._chunk = jax.jit(fused_chunk, static_argnums=3)
             self.kernel_used = "pallas+fused" + (
                 "+layered" if schedule == "layered" else ""
-            )
+            ) + ("+mesh" if mesh is not None and batch_axes else "")
         else:
             self._build_unfused(
                 code, opts, layout, info_pos, spec, il_kind, sharding,
@@ -895,7 +960,10 @@ def run_simulation_parallel(
     Sp = -(-S // s_shard) * s_shard  # pad points to the snr-axis size
 
     batch_axes = tuple(a for a in mesh.axis_names if a != snr_axis)
-    executor = PointExecutor(code, opts, mesh=mesh, batch_axes=batch_axes or ("batch",))
+    executor = PointExecutor(
+        code, opts, mesh=mesh, batch_axes=batch_axes or ("batch",),
+        step_vmapped=True,
+    )
     base_key = jax.random.key(opts.seed)
 
     def consts_for(snr_db: float) -> ChannelConsts:

@@ -258,6 +258,44 @@ class TestRunnerFusedPath:
             single.fer_frames, single.conv_iters_sum, single.conv_count)
         assert abs(chunked.norm_llr_sum - single.norm_llr_sum) < 1e-4
 
+    def test_fused_under_mesh_bit_identical(self, wimax_code):
+        """The shard_map-wrapped fused kernel on the 8-device mesh must
+        reproduce the unmeshed fused counters bit-for-bit: with the 'input'
+        noise source every shard consumes its slice of the SAME global draw
+        tensor, and the info-bit PRNG is partitionable."""
+        from ldpc_tpu.parallel.mesh import make_mesh
+        from ldpc_tpu.sim.runner import PointExecutor
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        opts = self._opts(blocks=256, batch=256, iterations=6)
+        plain = PointExecutor(wimax_code, opts)
+        meshed = PointExecutor(wimax_code, opts,
+                               mesh=make_mesh({"batch": 8}))
+        assert meshed.kernel_used == plain.kernel_used + "+mesh"
+        a = plain.run_point(2.5, 256, jax.random.key(7), 0)
+        b = meshed.run_point(2.5, 256, jax.random.key(7), 0)
+        assert (a.blocks, a.ok_blocks, a.error_bits, a.fer_frames,
+                a.conv_iters_sum, a.conv_count) == (
+            b.blocks, b.ok_blocks, b.error_bits, b.fer_frames,
+            b.conv_iters_sum, b.conv_count)
+        assert abs(a.norm_llr_sum - b.norm_llr_sum) < 1e-6
+
+    def test_fused_stays_off_for_vmapped_step(self, wimax_code):
+        """The parallel sweep vmaps the step, which the shard_map wrapper
+        does not support -- the executor must fall back to the unfused
+        pipeline there instead of failing inside vmap."""
+        from ldpc_tpu.parallel.mesh import make_mesh
+        from ldpc_tpu.sim.runner import PointExecutor
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        ex = PointExecutor(
+            wimax_code, self._opts(fused="auto"),
+            mesh=make_mesh({"batch": 8}), step_vmapped=True,
+        )
+        assert not ex.kernel_used.startswith("pallas+fused")
+
     def test_kernel_xla_beats_fused_auto(self, wimax_code):
         """--kernel xla must win over fused auto-selection (review fix)."""
         from ldpc_tpu.sim.runner import PointExecutor
