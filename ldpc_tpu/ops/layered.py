@@ -108,6 +108,16 @@ def make_qc_layered_decoder(
     k = max(int(info_pos.shape[0]), 1)
     dcb = max((len(r) for r in row_slots), default=1)
 
+    # per-iteration / degree-specific normalized-min-sum schedules ([T] or
+    # [T, D] alpha) -- same semantics as ldpc_tpu.ops.spa.make_decoder and
+    # the Pallas layered kernel (bit-identity: tests/test_pallas.py)
+    from ldpc_tpu.ops.spa_pallas import _resolve_alpha_schedule
+
+    alpha_arr, alpha_class = _resolve_alpha_schedule(alpha, variant, row_slots)
+    alpha_seq = (
+        None if alpha_arr is None else jnp.asarray(alpha_arr, jnp.float32)
+    )
+
     def roll(x, s):  # y[r] = x[(r + s) % Z] along the last axis
         return jnp.roll(x, -s, axis=-1)
 
@@ -144,13 +154,22 @@ def make_qc_layered_decoder(
             it, L, E, done, est, conv, prior, norm = state
             active = ~done
 
+            if alpha_seq is None:
+                a_of = lambda bi: alpha  # noqa: E731
+            else:
+                a_row = alpha_seq[jnp.minimum(it, alpha_seq.shape[0] - 1)]
+                if alpha_seq.ndim == 1:
+                    a_of = lambda bi: a_row  # noqa: E731
+                else:
+                    a_of = lambda bi: a_row[alpha_class[bi]]  # noqa: E731
+
             for bi in range(mb):
                 slots = row_slots[bi]
                 msgs = [
                     roll(L[:, bj], s) - E[:, bi, j]
                     for j, (bj, s) in enumerate(slots)
                 ]
-                e_new = _check_update_list(msgs, variant, alpha, beta)
+                e_new = _check_update_list(msgs, variant, a_of(bi), beta)
                 dup = len({bj for bj, _ in slots}) < len(slots)
                 if dup:
                     # multi-diagonal layer (e.g. CCSDS '0+7'): a base row

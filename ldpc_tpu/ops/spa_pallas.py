@@ -67,15 +67,60 @@ def _roll0(x: jax.Array, s: int, Z: int) -> jax.Array:
 _exclusive_combine = exclusive_combine
 
 
+def _resolve_alpha_schedule(alpha, variant, row_slots):
+    """Validate a per-iteration alpha schedule against the QC graph.
+
+    Returns ``(arr, class_of)``: ``arr`` is the float64 schedule ([T] or
+    [T, D]) or None for a trace-time-constant scalar; ``class_of[bi]`` maps
+    a base row to its column of a degree-specific [T, D] matrix (distinct
+    check degrees ascending -- the same order as
+    ldpc_tpu.ops.spa.check_degree_classes, so learned weights deploy to
+    either decode path unchanged)."""
+    if np.ndim(alpha) == 0:
+        return None, None
+    if variant != "normalized_minsum":
+        raise ValueError(
+            "per-iteration alpha requires variant='normalized_minsum'"
+        )
+    arr = np.asarray(alpha, np.float64)
+    if arr.ndim == 1:
+        return arr, None
+    if arr.ndim != 2:
+        raise ValueError("alpha schedule must be scalar, [T] or [T, D]")
+    degrees = sorted({len(r) for r in row_slots})
+    if arr.shape[1] != len(degrees):
+        raise ValueError(
+            f"alpha has {arr.shape[1]} degree classes but the graph has "
+            f"{len(degrees)} distinct check degrees {degrees}"
+        )
+    lookup = {d: i for i, d in enumerate(degrees)}
+    return arr, [lookup[len(r)] for r in row_slots]
+
+
+def _sched_at(vec: np.ndarray, it):
+    """``vec[min(it, T-1)]`` as a traced f32 scalar via a select chain.
+
+    Mosaic-friendly (no 1-D vector gather in-kernel); the clamp-to-last
+    default matches the XLA decoder's ``alpha_seq[min(it, T-1)]``."""
+    a = jnp.float32(vec[-1])
+    for t in range(len(vec) - 1):
+        a = jnp.where(it == t, jnp.float32(vec[t]), a)
+    return a
+
+
 def make_check_update(variant: str, alpha: float, beta: float):
     """Leave-one-out check update over a static list of [Z, TB] arrays.
 
     Shared by the standalone decode kernel and the fused Monte-Carlo kernel
     (ldpc_tpu.ops.mc_pallas); float reductions associate in the same order as
     the XLA/jnp decoders (exclusive_combine), the precondition for the
-    bit-identity asserted in tests/test_pallas.py."""
+    bit-identity asserted in tests/test_pallas.py.
 
-    def check_update(msgs):
+    ``check_update(msgs, a_t=None)``: ``a_t`` (traced f32 scalar) overrides
+    the trace-time-constant normalized-min-sum weight -- per-iteration /
+    per-degree schedules (see make_decode_loop)."""
+
+    def check_update(msgs, a_t=None):
         if variant == "spa":
             ts = [
                 jnp.clip(
@@ -104,7 +149,7 @@ def make_check_update(variant: str, alpha: float, beta: float):
             sg = jnp.ones_like(msgs[0]) if sg is None else sg
             mg = jnp.full_like(msgs[0], 1e30) if mg is None else mg
             if variant == "normalized_minsum":
-                mg = alpha * mg
+                mg = (alpha if a_t is None else a_t) * mg
             elif variant == "offset_minsum":
                 mg = jnp.maximum(mg - beta, 0.0)
             out.append(sg * mg)
@@ -146,8 +191,26 @@ def make_decode_loop(
     Z, nb, mb = qc.Z, qc.nb, qc.mb
     row_slots = qc.row_slots()
     col_slots = qc.col_slots()
-    check_update = make_check_update(variant, alpha, beta)
+    # alpha may be a [T] / [T, D] normalized-min-sum schedule (learned
+    # weights, ldpc_tpu.analysis.learned_minsum); resolved per iteration as
+    # a scalar select chain so the kernel stays static-shape
+    alpha_arr, alpha_class = _resolve_alpha_schedule(alpha, variant, row_slots)
+    check_update = make_check_update(
+        variant, alpha if alpha_arr is None else 1.0, beta
+    )
     TB = tile_b
+
+    def alpha_of(it):
+        """bi -> traced alpha scalar for iteration ``it`` (None = constant)."""
+        if alpha_arr is None:
+            return lambda bi: None
+        if alpha_arr.ndim == 1:
+            a = _sched_at(alpha_arr, it)
+            return lambda bi: a
+        cols = [
+            _sched_at(alpha_arr[:, c], it) for c in range(alpha_arr.shape[1])
+        ]
+        return lambda bi: cols[alpha_class[bi]]
 
     def syndrome(L_of):
         """any_unsat [1, TB] from posterior signs (exact rule: bit = L < 0)."""
@@ -186,6 +249,7 @@ def make_decode_loop(
     def body_flooding(llr_blk, mask_blk, E_ref, L_ref, prior_ref, carry):
         it, done_f, conv, norm = carry
         active = done_f < 0.5  # bool [1, TB], True while undecoded
+        a_of = alpha_of(it)
 
         # ---- check-node update: messages recomputed as roll(L) - E ----
         for bi in range(mb):
@@ -194,7 +258,7 @@ def make_decode_loop(
                 _roll0(L_ref[bj], s, Z) - E_ref[bi, slot]
                 for slot, (bj, s) in enumerate(slots)
             ]
-            for slot, e in enumerate(check_update(msgs)):
+            for slot, e in enumerate(check_update(msgs, a_of(bi))):
                 E_ref[bi, slot] = jnp.where(active, e, E_ref[bi, slot])
 
         # ---- posterior per base column ----
@@ -213,6 +277,7 @@ def make_decode_loop(
     def body_layered(llr_blk, mask_blk, E_ref, L_ref, prior_ref, carry):
         it, done_f, conv, norm = carry
         active = done_f < 0.5
+        a_of = alpha_of(it)
 
         # ---- one serial sweep over base-row layers ----
         for bi in range(mb):
@@ -221,7 +286,7 @@ def make_decode_loop(
                 _roll0(L_ref[bj], s, Z) - E_ref[bi, slot]
                 for slot, (bj, s) in enumerate(slots)
             ]
-            e_new = check_update(msgs)
+            e_new = check_update(msgs, a_of(bi))
             dup = len({bj for bj, _ in slots}) < len(slots)
             if dup:
                 # multi-diagonal layer: both circulants of a doubled block

@@ -68,30 +68,20 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
     on_tpu = jax.default_backend() == "tpu"
     want = opts.kernel
     schedule = opts.schedule or "flooding"
-    # a per-iteration alpha schedule decodes on the XLA flooding path: the
-    # Pallas/layered kernels bake a trace-time-constant alpha
+    # per-iteration / degree-specific --minsum-alpha schedules run on every
+    # decode path (XLA, layered, Pallas, fused): the kernels resolve
+    # alpha[min(it, T-1)] per iteration (spa_pallas._resolve_alpha_schedule)
     vector_alpha = np.ndim(opts.minsum_alpha) > 0
     if vector_alpha and variant != "normalized_minsum":
         raise ValueError(
             "a per-iteration --minsum-alpha schedule requires "
             "--decoder normalized-minsum"
         )
-    if vector_alpha and schedule == "layered":
-        raise ValueError(
-            "a per-iteration --minsum-alpha schedule requires the flooding "
-            "schedule (the layered kernels bake a constant alpha)"
-        )
-    if vector_alpha and want == "pallas":
-        raise ValueError(
-            "kernel='pallas' bakes a constant alpha; per-iteration schedules "
-            "decode on the XLA path (use kernel='auto' or 'xla')"
-        )
     eligible = (
         variant in _PALLAS_VARIANTS
         and opts.check_rule == "exact"
         and opts.decode_graph in ("orig", "original")
         and code.qc is not None
-        and not vector_alpha
     )
     use_pallas = (want == "pallas" and eligible) or (
         want == "auto" and eligible and on_tpu
@@ -295,7 +285,6 @@ class PointExecutor:
             and opts.check_rule == "exact"
             and self.graph in ("orig", "original")
             and opts.decoder_variant in _PALLAS_VARIANTS
-            and np.ndim(opts.minsum_alpha) == 0  # schedules -> XLA path
             and il_kind == "none"
             and self.modulation in (1, 2)
             and opts.mode in (1, 2, 3)
@@ -315,8 +304,8 @@ class PointExecutor:
         if opts.fused == "on" and not fused_eligible:
             raise ValueError(
                 "fused='on' requires a QC code, check_rule='exact', "
-                "decode_graph='orig', an SPA/min-sum variant with a scalar "
-                "--minsum-alpha, no interleaver, modulation 1/2, no "
+                "decode_graph='orig', an SPA/min-sum variant, "
+                "no interleaver, modulation 1/2, no "
                 "shorten/puncture, a mesh with a batch axis (or none) "
                 "outside the parallel sweep, and the kernel fitting VMEM "
                 "(--normalized-llr adds a scratch buffer to the VMEM plan)"

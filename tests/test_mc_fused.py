@@ -80,7 +80,7 @@ slow = pytest.mark.slow
 
 
 def _fused_vs_unfused(code, mode, modulation, snr_db, B=128, iters=8,
-                      schedule="flooding"):
+                      schedule="flooding", variant="spa", alpha=0.75):
     spec = code.standard_encode_spec
     info_pos = spec.info_pos("orig")
     key = jax.random.key(42 + mode)
@@ -94,8 +94,8 @@ def _fused_vs_unfused(code, mode, modulation, snr_db, B=128, iters=8,
                            noise_model="exact")
     consts = params.consts()
 
-    mc = make_mc_decoder(code.qc, info_pos, iters, "spa", mode=mode,
-                         modulation=modulation, schedule=schedule,
+    mc = make_mc_decoder(code.qc, info_pos, iters, variant, mode=mode,
+                         modulation=modulation, schedule=schedule, alpha=alpha,
                          noise_source="input", interpret=True, debug_llr=True)
     err, ok, conv, norm, it_l, dllr = jax.jit(mc)(
         wT, consts_vector(consts), jnp.zeros(2, jnp.int32), raw
@@ -111,8 +111,9 @@ def _fused_vs_unfused(code, mode, modulation, snr_db, B=128, iters=8,
 
     # decode + counter bit-identity: feed the EXACT in-kernel LLR bits to
     # the standalone Pallas decoder (double negation is IEEE-exact)
-    dec = jax.jit(make_qc_decoder(code.qc, info_pos, iters, "spa",
-                                  schedule=schedule, interpret=True))
+    dec = jax.jit(make_qc_decoder(code.qc, info_pos, iters, variant,
+                                  schedule=schedule, alpha=alpha,
+                                  interpret=True))
     res = dec(-dllr.T)
 
     assert np.array_equal(np.asarray(res.ok), np.asarray(ok))
@@ -134,6 +135,17 @@ def test_fused_mode1_bpsk_bit_identical(wimax_code):
 def test_fused_mode1_layered_bit_identical(wimax_code):
     ok = _fused_vs_unfused(wimax_code, mode=1, modulation=1, snr_db=2.0,
                            schedule="layered")
+    assert 0.5 < ok.mean() <= 1.0
+
+
+@slow
+def test_fused_layered_alpha_schedule_bit_identical(wimax_code):
+    """Per-iteration normalized-min-sum weights inside the fused kernel."""
+    ok = _fused_vs_unfused(
+        wimax_code, mode=1, modulation=1, snr_db=2.0, schedule="layered",
+        variant="normalized_minsum",
+        alpha=(0.64, 0.73, 0.78, 0.8, 0.8125, 0.82, 0.82, 0.82),
+    )
     assert 0.5 < ok.mean() <= 1.0
 
 

@@ -85,6 +85,48 @@ def test_pallas_matches_xla_decoder(wimax, variant):
     )
 
 
+_SCHED = (0.64, 0.73, 0.78, 0.8, 0.8125, 0.8125, 0.82, 0.82)
+
+
+@pytest.mark.parametrize("schedule", ["flooding", "layered"])
+@pytest.mark.parametrize("form", ["per_iteration", "per_degree"])
+def test_alpha_schedule_matches_xla(wimax, schedule, form):
+    """[T] / [T, D] normalized-min-sum weight schedules must be bit-identical
+    between the XLA decoders and the Pallas kernel on every schedule -- the
+    deployment guarantee for learned weights (analysis.learned_minsum)."""
+    from ldpc_tpu.ops.layered import make_qc_layered_decoder
+    from ldpc_tpu.ops.spa import check_degree_classes
+
+    code = wimax
+    info = code.standard_encode_spec.info_pos("orig")
+    _, _, llr = _llrs(code, 24, seed=7)
+    if form == "per_iteration":
+        alpha = _SCHED
+    else:
+        _, degrees = check_degree_classes(code.layout("orig"))
+        alpha = np.asarray(_SCHED)[:, None] * (
+            0.96 + 0.04 * np.arange(len(degrees))
+        )[None, :]
+    if schedule == "flooding":
+        d_xla = make_decoder(
+            code.layout("orig"), info, 8, "normalized_minsum",
+            rule="exact", alpha=alpha,
+        )
+    else:
+        d_xla = make_qc_layered_decoder(
+            code.qc, info, 8, "normalized_minsum", alpha=alpha
+        )
+    d_qc = make_qc_decoder(
+        code.qc, info, 8, "normalized_minsum", alpha=alpha,
+        schedule=schedule, interpret=True,
+    )
+    r1 = d_xla(jnp.asarray(llr))
+    r2 = d_qc(jnp.asarray(llr))
+    assert np.array_equal(np.asarray(r1.est), np.asarray(r2.est))
+    assert np.array_equal(np.asarray(r1.ok), np.asarray(r2.ok))
+    assert np.array_equal(np.asarray(r1.conv_iter), np.asarray(r2.conv_iter))
+
+
 @pytest.mark.parametrize("schedule", ["flooding", "layered"])
 def test_track_norm_off_identical(wimax, schedule):
     """track_norm=False elides the normalized-LLR bookkeeping (and its
