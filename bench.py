@@ -73,6 +73,10 @@ def measure_point(executor, code, snr_db, *, batch, n_batches, n_windows,
 def main() -> int:
     import jax
 
+    from ldpc_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from ldpc_tpu.sim.config import SimOptions
     from ldpc_tpu.sim.runner import PointExecutor
     from __graft_entry__ import _flagship_code

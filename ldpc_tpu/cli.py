@@ -148,7 +148,8 @@ Examples:
                         help="Normalized min-sum scale factor, or a "
                              "comma-separated per-iteration schedule (e.g. a "
                              "learned one, ldpc_tpu.analysis.learned_minsum; "
-                             "schedules decode on the XLA flooding path)")
+                             "schedules run on all kernels and schedules, "
+                             "including the fused Pallas path)")
     parser.add_argument("--minsum-beta", type=float, default=0.15,
                         help="Offset min-sum offset")
     parser.add_argument("--checkpoint", type=str, default=None,
@@ -260,6 +261,10 @@ def _parse_mesh_axes(spec: str) -> dict[str, int]:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    from ldpc_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     if args.list_codes:
         from ldpc_tpu.models.catalog import MatrixCatalog

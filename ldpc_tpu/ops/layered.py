@@ -41,6 +41,7 @@ from ldpc_tpu.ops.spa import (
     _signs,
     exclusive_combine,
 )
+from ldpc_tpu.ops.spa_pallas import resolve_alpha_schedule
 
 
 def _check_update_list(msgs, variant, alpha, beta):
@@ -111,9 +112,7 @@ def make_qc_layered_decoder(
     # per-iteration / degree-specific normalized-min-sum schedules ([T] or
     # [T, D] alpha) -- same semantics as ldpc_tpu.ops.spa.make_decoder and
     # the Pallas layered kernel (bit-identity: tests/test_pallas.py)
-    from ldpc_tpu.ops.spa_pallas import _resolve_alpha_schedule
-
-    alpha_arr, alpha_class = _resolve_alpha_schedule(alpha, variant, row_slots)
+    alpha_arr, alpha_class = resolve_alpha_schedule(alpha, variant, row_slots)
     alpha_seq = (
         None if alpha_arr is None else jnp.asarray(alpha_arr, jnp.float32)
     )

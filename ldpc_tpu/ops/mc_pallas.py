@@ -22,9 +22,16 @@ while outside it is a ~0.2 ms MXU op whose [n, B] f32 output costs one
 streamed read.
 
 Noise notes:
-  * Normals use Box-Muller with 24-bit uniforms: the magnitude is capped at
-    sqrt(-2 ln 2^-24) = 5.77 sigma. Irrelevant above FER ~1e-8/bit; the
-    unfused path keeps jax.random.normal for tail-critical studies.
+  * Normals use Box-Muller with a 48-bit-deep radial uniform (two PRNG
+    words: 24 high + 24 low mantissa bits, minimum value 2^-49), capping
+    the magnitude at sqrt(-2 ln 2^-49) = 8.24 sigma. For n=576 the
+    probability a frame contains ANY capped sample is ~n * 2Q(8.24) ~=
+    1e-13 -- negligible down to FER 1e-9 (the deep error-floor and
+    importance-sampling regimes). The angle uniform keeps 24 bits (angle
+    resolution does not affect tails). Round 1-2 used a 24-bit radial
+    uniform (5.77 sigma cap, per-frame clip probability ~4.6e-6 at n=576);
+    see examples/error_floor/README.md for the quantified bias of the old
+    scheme and the re-measured tail points.
   * ``noise_source='hw'`` (TPU) seeds the per-core PRNG from (seed0, seed1,
     tile); ``noise_source='input'`` takes pre-drawn uint32 words as an extra
     input -- it runs in interpret mode on CPU and lets tests replay the
@@ -50,6 +57,9 @@ from ldpc_tpu.ops.spa_pallas import VMEM_BUDGET, make_decode_loop
 TWO_PI = 2.0 * math.pi
 _U24 = float(2.0**-24)
 _HALF_U24 = float(2.0**-25)
+_U48 = float(2.0**-48)
+_HALF_U48 = float(2.0**-49)
+_ONE_MINUS_U24 = float(1.0 - 2.0**-24)  # largest f32 strictly below 1
 
 
 def _uniform01(raw_u32: jax.Array) -> jax.Array:
@@ -63,22 +73,41 @@ def _uniform01(raw_u32: jax.Array) -> jax.Array:
     )
 
 
-def box_muller(raw1: jax.Array, raw2: jax.Array) -> jax.Array:
-    """Standard normal from two uint32 words (cosine branch)."""
-    u1 = _uniform01(raw1)
+def _uniform01_48(raw_hi: jax.Array, raw_lo: jax.Array) -> jax.Array:
+    """Two uint32 words -> f32 uniform in (0, 1) with 48-bit DEPTH.
+
+    The value is ``hi24 * 2^-24 + lo24 * 2^-48 + 2^-49``: for large values
+    the low bits round away harmlessly (the result still has f32's 24-bit
+    relative resolution), but near zero they survive, so the MINIMUM value
+    is 2^-49 instead of 2^-25 -- through Box-Muller's sqrt(-2 ln u) that
+    moves the normal-magnitude cap from 5.77 to 8.24 sigma. The sum is
+    clamped to the largest f32 below 1 (a <=2^-25-probability rounding
+    corner would otherwise yield exactly 1.0)."""
+    hi = (raw_hi >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
+    lo = (raw_lo >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
+    return jnp.minimum(hi * _U24 + (lo * _U48 + _HALF_U48), _ONE_MINUS_U24)
+
+
+def box_muller(raw1: jax.Array, raw1_lo: jax.Array,
+               raw2: jax.Array) -> jax.Array:
+    """Standard normal from three uint32 words (cosine branch)."""
+    u1 = _uniform01_48(raw1, raw1_lo)
     u2 = _uniform01(raw2)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(TWO_PI * u2)
 
 
-def box_muller2(raw1: jax.Array, raw2: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """TWO independent standard normals from two uint32 words.
+def box_muller2(raw1: jax.Array, raw1_lo: jax.Array,
+                raw2: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """TWO independent standard normals from three uint32 words.
 
     Box-Muller yields a full 2-D Gaussian per uniform pair; using both the
     cosine and sine branches halves the PRNG words and the log/sqrt
     transcendentals per noise sample -- the channel section of the fused
-    kernel generates noise for two adjacent base columns per draw pair."""
-    u1 = _uniform01(raw1)
+    kernel generates noise for two adjacent base columns per draw triple.
+    The radial uniform is 48-bit-deep (tail-exact to 8.24 sigma,
+    :func:`_uniform01_48`); the angle keeps 24 bits."""
+    u1 = _uniform01_48(raw1, raw1_lo)
     u2 = _uniform01(raw2)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     ang = TWO_PI * u2
@@ -88,10 +117,11 @@ def box_muller2(raw1: jax.Array, raw2: jax.Array) -> tuple[jax.Array, jax.Array]
 # raw-plane SLOTS per bit in the injected-noise layout, by channel mode
 # (the hw path generates fewer words: normals come in cos/sin pairs shared
 # by two adjacent base columns, so only the even column's planes of each
-# normal are consumed -- see _make_channel_fill)
-#   mode 1: 2 (one normal)   mode 2: 5 (two normals + jam uniform)
-#   mode 3: 4 (two normals)
-DRAWS_PER_BIT = {1: 2, 2: 5, 3: 4}
+# normal are consumed -- see _make_channel_fill). Each normal pair takes
+# THREE planes: radial hi, radial lo (48-bit depth), angle.
+#   mode 1: 3 (one normal pair)   mode 2: 7 (two pairs + jam uniform)
+#   mode 3: 6 (two pairs)
+DRAWS_PER_BIT = {1: 3, 2: 7, 3: 6}
 
 # SMEM layout of the runtime channel constants (matches ChannelConsts order)
 _CONSTS = ("noise1_std", "llr_scale", "sigma1", "sigma2", "l_c1", "l_c2",
@@ -183,14 +213,14 @@ def make_mc_decoder(
             c0 = p
             c1 = p + 1 if p + 1 < nb else None
             if mode == 1:
-                z0, z1 = box_muller2(get(0, c0), get(1, c0))
+                z0, z1 = box_muller2(get(0, c0), get(1, c0), get(2, c0))
                 for bj, z in ((c0, z0),) + (((c1, z1),) if c1 is not None else ()):
                     llr_ref[bj] = -(
                         c("llr_scale") * (bpsk(bj) + c("noise1_std") * z)
                     )
                 continue
-            a0, a1 = box_muller2(get(0, c0), get(1, c0))
-            b0, b1 = box_muller2(get(2, c0), get(3, c0))
+            a0, a1 = box_muller2(get(0, c0), get(1, c0), get(2, c0))
+            b0, b1 = box_muller2(get(3, c0), get(4, c0), get(5, c0))
             cols = ((c0, a0, b0),) + (
                 ((c1, a1, b1),) if c1 is not None else ()
             )
@@ -199,7 +229,7 @@ def make_mc_decoder(
                 n1 = c("sigma1") * za
                 n2 = c("sigma2") * zb
                 if mode == 2:
-                    jam = _uniform01(get(4, bj)) < c("p")
+                    jam = _uniform01(get(6, bj)) < c("p")
                     llr = jnp.where(jam, (sym + n1 + n2) * c("l_c2"),
                                     (sym + n1) * c("l_c1"))
                 else:  # mode 3
@@ -413,12 +443,13 @@ def channel_llr_reference(
     z1 = [None] * nb  # first normal (n1 / mode-1 noise)
     z2 = [None] * nb  # second normal (n2), modes 2/3
     for p in range(0, nb, 2):
-        a0, a1 = box_muller2(blk(raw[0], p), blk(raw[1], p))
+        a0, a1 = box_muller2(blk(raw[0], p), blk(raw[1], p), blk(raw[2], p))
         z1[p] = a0
         if p + 1 < nb:
             z1[p + 1] = a1
         if mode != 1:
-            b0, b1 = box_muller2(blk(raw[2], p), blk(raw[3], p))
+            b0, b1 = box_muller2(blk(raw[3], p), blk(raw[4], p),
+                                 blk(raw[5], p))
             z2[p] = b0
             if p + 1 < nb:
                 z2[p + 1] = b1
@@ -429,7 +460,7 @@ def channel_llr_reference(
     n1 = consts.sigma1 * zA
     n2 = consts.sigma2 * zB
     if mode == 2:
-        jam = _uniform01(raw[4]) < consts.p
+        jam = _uniform01(raw[6]) < consts.p
         return jnp.where(jam, (sym + n1 + n2) * consts.l_c2,
                          (sym + n1) * consts.l_c1)
     return ((sym + n1 + n2) * consts.p + (sym + n1) * (1.0 - consts.p)) \

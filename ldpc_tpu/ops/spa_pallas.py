@@ -67,7 +67,7 @@ def _roll0(x: jax.Array, s: int, Z: int) -> jax.Array:
 _exclusive_combine = exclusive_combine
 
 
-def _resolve_alpha_schedule(alpha, variant, row_slots):
+def resolve_alpha_schedule(alpha, variant, row_slots):
     """Validate a per-iteration alpha schedule against the QC graph.
 
     Returns ``(arr, class_of)``: ``arr`` is the float64 schedule ([T] or
@@ -75,7 +75,8 @@ def _resolve_alpha_schedule(alpha, variant, row_slots):
     a base row to its column of a degree-specific [T, D] matrix (distinct
     check degrees ascending -- the same order as
     ldpc_tpu.ops.spa.check_degree_classes, so learned weights deploy to
-    either decode path unchanged)."""
+    either decode path unchanged). Shared by the standalone QC kernel, the
+    fused Monte-Carlo kernel, and the XLA layered decoder."""
     if np.ndim(alpha) == 0:
         return None, None
     if variant != "normalized_minsum":
@@ -83,6 +84,10 @@ def _resolve_alpha_schedule(alpha, variant, row_slots):
             "per-iteration alpha requires variant='normalized_minsum'"
         )
     arr = np.asarray(alpha, np.float64)
+    if arr.size == 0:
+        raise ValueError(
+            "alpha schedule is empty: need at least one per-iteration value"
+        )
     if arr.ndim == 1:
         return arr, None
     if arr.ndim != 2:
@@ -95,6 +100,9 @@ def _resolve_alpha_schedule(alpha, variant, row_slots):
         )
     lookup = {d: i for i, d in enumerate(degrees)}
     return arr, [lookup[len(r)] for r in row_slots]
+
+
+_resolve_alpha_schedule = resolve_alpha_schedule  # backward-compat alias
 
 
 def _sched_at(vec: np.ndarray, it):

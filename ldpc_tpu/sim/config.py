@@ -98,8 +98,8 @@ class SimOptions:
     seed: int = 0
     exact_ber: bool = False  # also count undetected-error bits (not just failed frames)
     # scalar, or a per-iteration schedule (tuple) -- e.g. a learned one
-    # (ldpc_tpu.analysis.learned_minsum); schedules decode on the XLA
-    # flooding path (the Pallas kernels bake a trace-time-constant alpha)
+    # (ldpc_tpu.analysis.learned_minsum); schedules run on every decode
+    # path (XLA, layered, Pallas, fused) via per-iteration alpha resolution
     minsum_alpha: float | tuple[float, ...] = 0.75
     minsum_beta: float = 0.15
     quiet: bool = False

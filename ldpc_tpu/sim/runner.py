@@ -70,7 +70,7 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
     schedule = opts.schedule or "flooding"
     # per-iteration / degree-specific --minsum-alpha schedules run on every
     # decode path (XLA, layered, Pallas, fused): the kernels resolve
-    # alpha[min(it, T-1)] per iteration (spa_pallas._resolve_alpha_schedule)
+    # alpha[min(it, T-1)] per iteration (spa_pallas.resolve_alpha_schedule)
     vector_alpha = np.ndim(opts.minsum_alpha) > 0
     if vector_alpha and variant != "normalized_minsum":
         raise ValueError(

@@ -148,13 +148,43 @@ def test_cli_sweep_with_alpha_schedule(wimax, tmp_path):
     assert len(pts) == 1 and 0 < pts[0]["fer"] <= 1
 
 
-@pytest.mark.parametrize("argv,match", [
-    (["--schedule", "layered"], "flooding"),
-    (["--kernel", "pallas"], "constant alpha"),
-    (["--fused", "on"], "scalar"),
-    (["--decoder", "minsum"], "normalized-minsum"),
+def test_empty_alpha_schedule_rejected(wimax):
+    """resolve_alpha_schedule must reject an empty [0] or [0, D] schedule
+    with a clear error instead of a trace-time IndexError."""
+    from ldpc_tpu.ops.spa_pallas import resolve_alpha_schedule
+
+    row_slots = wimax.qc.row_slots()
+    for bad in (np.zeros((0,)), np.zeros((0, 3))):
+        with pytest.raises(ValueError, match="empty"):
+            resolve_alpha_schedule(bad, "normalized_minsum", row_slots)
+
+
+def test_alpha_schedule_requires_normalized_minsum_decoder():
+    """The one remaining invalid config: a per-iteration schedule with a
+    plain (non-normalized) min-sum decoder."""
+    from ldpc_tpu.cli import build_parser, options_from_args
+    from ldpc_tpu.sim.runner import PointExecutor
+
+    code = load_code("builtin:wimax_576_0.5.alist.txt")
+    opts = options_from_args(build_parser().parse_args([
+        "--matrix", "x", "--fidelity", "exact", "--batch", "64",
+        "--iterations", "3", "--minsum-alpha", "0.6,0.7,0.8",
+        "--decoder", "minsum",
+    ]))
+    with pytest.raises(ValueError, match="normalized-minsum"):
+        PointExecutor(code, opts)
+
+
+@pytest.mark.parametrize("argv", [
+    ["--schedule", "layered"],
+    ["--kernel", "pallas"],
+    ["--fused", "on"],
 ])
-def test_alpha_schedule_invalid_configs(argv, match):
+def test_alpha_schedule_builds_on_all_paths(argv):
+    """Per-iteration alpha schedules run on every decode path (layered,
+    standalone Pallas, fused Monte-Carlo) since round 2 -- these configs
+    must construct without error (bit-identity vs the XLA decoder is
+    covered in tests/test_pallas.py)."""
     from ldpc_tpu.cli import build_parser, options_from_args
     from ldpc_tpu.sim.runner import PointExecutor
 
@@ -162,12 +192,10 @@ def test_alpha_schedule_invalid_configs(argv, match):
     base = [
         "--matrix", "x", "--fidelity", "exact", "--batch", "64",
         "--iterations", "3", "--minsum-alpha", "0.6,0.7,0.8",
+        "--decoder", "normalized-minsum",
     ]
-    if "--decoder" not in argv:
-        base += ["--decoder", "normalized-minsum"]
     opts = options_from_args(build_parser().parse_args(base + argv))
-    with pytest.raises(ValueError, match=match):
-        PointExecutor(code, opts)
+    PointExecutor(code, opts)  # must not raise
 
 
 @slow

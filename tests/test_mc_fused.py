@@ -50,20 +50,41 @@ def test_encoder_T_matches_encoder(wimax_code):
 
 
 def test_box_muller_statistics():
-    raw = jax.random.bits(jax.random.key(1), (2, 200_000), jnp.uint32)
-    z = np.asarray(box_muller(raw[0], raw[1]))
+    raw = jax.random.bits(jax.random.key(1), (3, 200_000), jnp.uint32)
+    z = np.asarray(box_muller(raw[0], raw[1], raw[2]))
     assert abs(z.mean()) < 0.01
     assert abs(z.std() - 1.0) < 0.01
     assert np.isfinite(z).all()
-    # 24-bit Box-Muller magnitude cap (documented): nothing beyond 5.8 sigma
-    assert np.abs(z).max() < 5.8
+    # 48-bit-deep radial uniform: magnitude capped at sqrt(-2 ln 2^-49)
+    assert np.abs(z).max() < 8.25
+
+
+def test_box_muller_tail_depth():
+    """The 48-bit radial uniform reaches beyond the old 5.77-sigma cap:
+    the all-zero draw (u1 = 2^-49, angle ~ 0) must produce ~8.24 sigma,
+    and low words must matter when the high word is zero (regression for
+    the round-2 24-bit scheme whose tail stopped at 5.77)."""
+    zero = jnp.zeros((4,), jnp.uint32)
+    z_deep = np.asarray(box_muller(zero, zero, zero))
+    np.testing.assert_allclose(z_deep, np.sqrt(-2 * np.log(2.0**-49)),
+                               rtol=1e-5)
+    assert (z_deep > 8.2).all()
+    # hi word zero, lo word large: magnitude ~ sqrt(-2 ln 2^-24) ~ 5.77
+    lo_full = jnp.full((4,), 0xFFFFFFFF, jnp.uint32)
+    z_mid = np.asarray(box_muller(zero, lo_full, zero))
+    np.testing.assert_allclose(z_mid, np.sqrt(-2 * np.log(2.0**-24)),
+                               rtol=1e-4)
+    # the near-one rounding corner clamps below 1.0 (no log(1)=0 spike):
+    hi_full = jnp.full((4,), 0xFFFFFFFF, jnp.uint32)
+    z_top = np.asarray(box_muller(hi_full, lo_full, zero))
+    assert np.isfinite(z_top).all() and (np.abs(z_top) > 0).all()
 
 
 def test_box_muller2_statistics_and_independence():
     from ldpc_tpu.ops.mc_pallas import box_muller2
 
-    raw = jax.random.bits(jax.random.key(2), (2, 200_000), jnp.uint32)
-    za, zb = (np.asarray(v) for v in box_muller2(raw[0], raw[1]))
+    raw = jax.random.bits(jax.random.key(2), (3, 200_000), jnp.uint32)
+    za, zb = (np.asarray(v) for v in box_muller2(raw[0], raw[1], raw[2]))
     for z in (za, zb):
         assert abs(z.mean()) < 0.01
         assert abs(z.std() - 1.0) < 0.01
@@ -71,7 +92,9 @@ def test_box_muller2_statistics_and_independence():
     # cos/sin branches of one draw pair are exactly uncorrelated normals
     assert abs(np.corrcoef(za, zb)[0, 1]) < 0.01
     # cosine branch must equal the single-normal helper (shared draw path)
-    np.testing.assert_array_equal(za, np.asarray(box_muller(raw[0], raw[1])))
+    np.testing.assert_array_equal(
+        za, np.asarray(box_muller(raw[0], raw[1], raw[2]))
+    )
 
 
 # interpret-mode Pallas decodes on CPU take minutes per case -- excluded
