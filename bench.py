@@ -110,6 +110,21 @@ def main() -> int:
     codewords = n_timed * batch  # per window
     info_bits = codewords * code.k
 
+    # speed-of-light context: the committed roofline ceiling for this exact
+    # operating point (examples/roofline, scripts/roofline.py -- census ops
+    # divided by the VPU issue peak; arithmetic in the README there)
+    ceiling = None
+    try:
+        import os
+        rj = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "examples", "roofline", "roofline.json")
+        with open(rj) as f:
+            ceiling = json.load(f)["ceiling_info_bits_per_s"]
+    except (OSError, KeyError, ValueError):
+        pass
+    sol = (f" pct_of_vpu_ceiling={100 * bits_per_s / ceiling:.1f}%"
+           if ceiling else "")
+
     # context to stderr (driver reads only the stdout JSON line)
     spread = [info_bits / t for t in (window_times[-1], elapsed, window_times[0])]
     print(
@@ -117,20 +132,19 @@ def main() -> int:
         f"kernel={executor.kernel_used} codewords/window={codewords} "
         f"median_window={elapsed:.3f}s cw/s={codewords / elapsed:,.0f} "
         f"bits/s min/med/max={spread[0]:,.0f}/{spread[1]:,.0f}/{spread[2]:,.0f} "
-        f"FER@2dB={fer:.4f} device={jax.devices()[0].device_kind}",
+        f"FER@2dB={fer:.4f} device={jax.devices()[0].device_kind}{sol}",
         file=sys.stderr,
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "wimax_1152_576 full-pipeline decoded info bits/s/chip",
-                "value": round(bits_per_s, 1),
-                "unit": "info_bits/s",
-                "vs_baseline": round(bits_per_s / BASELINE_INFO_BITS_PER_S, 1),
-            }
-        )
-    )
+    out = {
+        "metric": "wimax_1152_576 full-pipeline decoded info bits/s/chip",
+        "value": round(bits_per_s, 1),
+        "unit": "info_bits/s",
+        "vs_baseline": round(bits_per_s / BASELINE_INFO_BITS_PER_S, 1),
+    }
+    if ceiling:
+        out["pct_of_vpu_ceiling"] = round(100 * bits_per_s / ceiling, 1)
+    print(json.dumps(out))
     return 0
 
 

@@ -1,0 +1,445 @@
+"""Speed-of-light accounting for the fused Monte-Carlo decode kernel.
+
+Answers "is 1.5 G info bits/s actually fast?" from first principles: the
+fused kernel (ldpc_tpu.ops.mc_pallas) is pure VPU work -- every operation is
+elementwise over [Z, tile_b] tiles resident in VMEM, there is no MXU use and
+(by design) no per-iteration HBM traffic -- so its ceiling is the VPU's
+throughput on the kernel's exact op mix, not HBM bandwidth or MXU FLOPs.
+
+Three parts:
+
+* :func:`decode_census` / :func:`channel_census` -- an analytic count of
+  every vector op the kernel executes, per frame, bucketed into measurable
+  classes (fma-class cheap ops, sublane rolls, compare+selects, and the
+  transcendentals: tanh, log, div, sqrt, cos/sin, PRNG words). The counting
+  code mirrors the kernel body structure (spa_pallas.make_decode_loop,
+  mc_pallas.channel_fill) op for op; tests/test_roofline.py pins structural
+  identities (e.g. tanh count == edge count for the SPA rule).
+* :func:`vpu_peak_ops_per_s` -- the ABSOLUTE VPU issue ceiling, derived
+  from the chip's published matmul spec (the MXU and VPU share a clock):
+  TPU v5e advertises 197 bf16 TFLOP/s = 4 MXUs x 128x128 MACs x 2 flops,
+  which pins the clock at ~1.5 GHz; the VPU is (8, 128) lanes x 4 ALUs, so
+  peak vector issue is 1024 x 4 x 1.5e9 = 6.1e12 element-ops/s. The
+  speed-of-light ceiling is census ops / that peak -- optimistic by
+  construction (it credits every op as single-issue and perfectly
+  scheduled, ignores loop/control overhead and the tile's 48-sublane
+  misalignment), which is the correct direction for a bound.
+* :func:`measure_vpu_rates` -- EMPIRICAL per-class throughput floors from
+  Pallas microkernels (same Mosaic compiler path as the real kernel): a
+  dependent op chain on a VMEM-resident tile timed at two depths (slope
+  cancels launch overhead). Dependent chains under-fill the 4-wide ALU
+  issue, so these are FLOORS, not peaks -- their value is the per-class
+  ratio (e.g. cos/sin is ~20x costlier than fma; tanh/log are near-fma,
+  i.e. the v5e VPU evaluates them in hardware-assisted form).
+
+The reference has no analogue of any of this (it publishes no performance
+accounting at all; SURVEY.md section 6).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ldpc_tpu.models.qc import QCLayout
+from ldpc_tpu.ops.spa import exclusive_combine
+
+# measurable op classes; "fma" covers every 1-op vector instruction
+# (add/sub/mul/min/max/and/xor/shift/cast/compare each retire at the same
+# per-lane rate -- the fma chain measures that rate)
+CLASSES = ("fma", "roll", "where", "tanh", "log", "div", "sqrt", "cossin",
+           "prng")
+
+
+@dataclass
+class OpCount:
+    """Element-op counts per frame (one codeword): a [Z, TB] vector op
+    contributes Z element-ops per frame, a [1, TB] op contributes 1."""
+
+    counts: dict[str, float] = field(default_factory=lambda: dict.fromkeys(CLASSES, 0.0))
+
+    def add(self, cls: str, n: float) -> None:
+        self.counts[cls] += n
+
+    def __add__(self, other: "OpCount") -> "OpCount":
+        out = OpCount()
+        for c in CLASSES:
+            out.counts[c] = self.counts[c] + other.counts[c]
+        return out
+
+    def scaled(self, s: float) -> "OpCount":
+        out = OpCount()
+        for c in CLASSES:
+            out.counts[c] = self.counts[c] * s
+        return out
+
+    def total(self) -> float:
+        return sum(self.counts.values())
+
+
+def _count_exclusive(d: int) -> int:
+    """Exact number of binary combines exclusive_combine(d values) performs
+    (None is a symbolic identity, not an op) -- counted by running it."""
+    ops = 0
+
+    def op(a, b):
+        nonlocal ops
+        ops += 1
+        return a
+
+    exclusive_combine(list(range(d)), op)
+    return ops
+
+
+def _check_update_census(c: OpCount, Z: int, d: int, variant: str,
+                         scheduled_alpha: bool) -> None:
+    """Ops of one check-node update over d messages of [Z, TB]
+    (spa_pallas.make_check_update, mirrored op for op)."""
+    if variant == "spa":
+        # per msg: mul 0.5, clip (min+max), tanh, clip (min+max)
+        c.add("fma", d * Z * 5)
+        c.add("tanh", d * Z)
+        # exclusive product combine
+        c.add("fma", _count_exclusive(d) * Z)
+        # atanh2 per slot: clip (2), 1+p, 1-p, div, log
+        c.add("fma", d * Z * 4)
+        c.add("div", d * Z)
+        c.add("log", d * Z)
+        return
+    # min-sum family: sign (cmp+select), abs
+    c.add("where", d * Z)
+    c.add("fma", d * Z)
+    # exclusive sign product + exclusive min
+    c.add("fma", 2 * _count_exclusive(d) * Z)
+    if variant == "normalized_minsum":
+        c.add("fma", d * Z)  # alpha * mag (scheduled alpha: same 1 mul)
+    elif variant == "offset_minsum":
+        c.add("fma", d * Z * 2)  # mag - beta, max(0)
+    c.add("fma", d * Z)  # sign * mag
+
+
+def decode_census(
+    qc: QCLayout,
+    variant: str = "spa",
+    schedule: str = "layered",
+    track_norm: bool = False,
+    scheduled_alpha: bool = False,
+) -> OpCount:
+    """Element-ops of ONE decode iteration per frame (codeword).
+
+    Mirrors spa_pallas.make_decode_loop body_layered / body_flooding +
+    syndrome + norm_and_freeze exactly; rolls with shift % Z == 0 compile
+    away and are not counted.
+    """
+    Z, nb, mb = qc.Z, qc.nb, qc.mb
+    row_slots = qc.row_slots()
+    c = OpCount()
+
+    def roll(s):
+        if s % Z:
+            c.add("roll", Z)
+
+    for bi in range(mb):
+        slots = row_slots[bi]
+        d = len(slots)
+        # msgs = roll(L) - E
+        for _, s in slots:
+            roll(s)
+        c.add("fma", d * Z)
+        _check_update_census(c, Z, d, variant, scheduled_alpha)
+        if schedule == "layered":
+            dup = len({bj for bj, _ in slots}) < d
+            if dup:
+                # deltas: per slot sub + roll; per distinct col where-add
+                c.add("fma", d * Z)
+                for _, s in slots:
+                    roll(-s)
+                ncols = len({bj for bj, _ in slots})
+                c.add("fma", ncols * Z)  # L + d
+                c.add("where", ncols * Z)
+            else:
+                # l_new = roll(msg + e_new); L = where(active, l_new, L)
+                c.add("fma", d * Z)
+                for _, s in slots:
+                    roll(-s)
+                c.add("where", d * Z)
+            c.add("where", d * Z)  # E freeze-select
+        else:
+            c.add("where", d * Z)  # E freeze-select
+
+    if schedule == "flooding":
+        # posterior: acc = llr + sum over column slots of roll(E)
+        col_slots = qc.col_slots()
+        for bj in range(nb):
+            for _, _, s in col_slots[bj]:
+                roll(-s)
+                c.add("fma", Z)
+
+    # syndrome: per edge roll + cmp + xor; per row an any-reduce over Z
+    for bi in range(mb):
+        for _, s in row_slots[bi]:
+            roll(s)
+        d = len(row_slots[bi])
+        c.add("fma", 2 * d * Z)  # cmp(<0) + xor fold
+        c.add("fma", Z)  # any over sublanes
+        c.add("fma", 1)  # any_unsat |=
+    if track_norm:
+        # per column: abs, cmp, prior*L, cmp, and, cast, *mask, sum(Z), add
+        c.add("fma", nb * (7 * Z + Z))
+        c.add("fma", nb)  # flips accumulate [1, TB]
+        c.add("where", 1)  # norm select
+    # convergence bookkeeping on [1, TB]
+    c.add("where", 2)
+    return c
+
+
+def channel_census(qc: QCLayout, mode: int = 1) -> OpCount:
+    """Element-ops of the in-kernel channel fill per frame
+    (mc_pallas.channel_fill + box_muller2, mirrored op for op)."""
+    Z, nb = qc.Z, qc.nb
+    c = OpCount()
+    npairs = (nb + 1) // 2  # adjacent base columns share one draw pair
+
+    def normal_pair():
+        # 3 PRNG planes of [Z, TB]
+        c.add("prng", 3 * Z)
+        # uniform48: 2x(shift+cast), mul, fma, min = 7; uniform24: 4
+        c.add("fma", (7 + 4) * Z)
+        # r = sqrt(-2 log u1): log, mul, sqrt; ang = 2pi*u2: mul
+        c.add("log", Z)
+        c.add("sqrt", Z)
+        c.add("fma", 2 * Z)
+        # cos + sin branches, 2 muls
+        c.add("cossin", 2 * Z)
+        c.add("fma", 2 * Z)
+
+    for _ in range(npairs):
+        normal_pair()
+        if mode != 1:
+            normal_pair()
+    for _ in range(nb):
+        # bpsk: 2x-1 (amp=1 fused): 2 ops; llr scale + noise fma + negate
+        c.add("fma", 5 * Z)
+        if mode == 2:
+            c.add("prng", Z)  # jam uniform plane
+            c.add("fma", (4 + 1) * Z)  # uniform24 + cmp
+            c.add("fma", 3 * Z)  # both branch LLRs: n2 add, 2nd scale, (n1 counted)
+            c.add("where", Z)
+        elif mode == 3:
+            c.add("fma", 5 * Z)  # mix: add n2, 2 muls p/(1-p), add, *l_c3
+    # counters: est cmp, neq cmp, cast, *mask, sum(Z), add -- per column
+    c.add("fma", nb * (4 * Z + Z))
+    c.add("fma", nb)
+    # decode-loop init: L copy per column, E zero per slot
+    c.add("fma", qc.n)
+    row_slots = qc.row_slots()
+    c.add("fma", sum(len(r) for r in row_slots) * Z)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# empirical VPU rates (Pallas microkernels, measured on the live device)
+# ---------------------------------------------------------------------------
+
+def _rate_kernel(op_name: str, depth: int, shape=(256, 1024),
+                 unroll: int = 16):
+    """Build a jitted fn running a depth-``depth`` dependent op chain of one
+    class on a VMEM-resident f32 tile (``depth`` must divide by ``unroll``:
+    the chain applies the op ``unroll`` times per loop iteration so the loop
+    carry's VMEM round-trip amortizes and the op itself binds). Values sit
+    at stable fixed points so the chain never leaves the op's fast domain."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def body(x):
+        if op_name == "fma":
+            return x * 0.9998779296875 + 0.0001220703125
+        if op_name == "roll":
+            return jnp.concatenate([x[1:], x[:1]], axis=0)
+        if op_name == "where":
+            return jnp.where(x < 0.5, x + 0.25, x * 0.5)
+        if op_name == "tanh":
+            return jnp.tanh(x) + 0.25  # fixed point ~0.54
+        if op_name == "log":
+            return jnp.log(x * 0.5 + 1.7)  # fixed point ~0.77, stays > 0
+        if op_name == "div":
+            return 3.0 / (x + 2.0)  # fixed point 1
+        if op_name == "sqrt":
+            return jnp.sqrt(x + 1.0)  # fixed point golden ratio
+        if op_name == "cossin":
+            return jnp.cos(x)  # fixed point ~0.739
+        raise ValueError(op_name)
+
+    assert depth % unroll == 0, (depth, unroll)
+    if op_name == "prng":
+        def kernel(x_ref, o_ref):
+            pltpu.prng_seed(7, 11)
+
+            def it(_, x):
+                for _ in range(unroll):
+                    w = pltpu.bitcast(
+                        pltpu.prng_random_bits(shape), jnp.uint32
+                    )
+                    x = x + (w >> jnp.uint32(8)).astype(jnp.int32).astype(
+                        jnp.float32) * 2.0**-24
+                return x
+
+            o_ref[:] = jax.lax.fori_loop(0, depth // unroll, it, x_ref[:])
+
+        ops_per_iter = 4  # shift + cast + mul + add around each word
+    else:
+        # ops of the surrounding arithmetic that keep the chain stable; the
+        # slope-vs-depth subtraction cancels launch overhead but NOT these,
+        # so discount them from the per-iteration op count instead
+        ops_per_iter = {"fma": 1, "roll": 1, "where": 2, "tanh": 2, "log": 2,
+                        "div": 2, "sqrt": 2, "cossin": 1}[op_name]
+
+        def kernel(x_ref, o_ref):
+            def it(_, x):
+                for _ in range(unroll):
+                    x = body(x)
+                return x
+
+            o_ref[:] = jax.lax.fori_loop(0, depth // unroll, it, x_ref[:])
+
+    fn = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    return jax.jit(fn), ops_per_iter
+
+
+def _time_median(fn, x, reps: int = 5) -> float:
+    # fetch one scalar of the result: on remote-TPU links
+    # block_until_ready can return before execution finishes, so a host
+    # readback is the only reliable completion barrier
+    float(fn(x)[0, 0])  # compile + warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(x)[0, 0])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+@functools.lru_cache(maxsize=1)
+def measure_vpu_rates(shape=(512, 1024), depths=(8192, 131072),
+                      reps: int = 3, verbose: bool = False) -> dict[str, float]:
+    """Measured element-ops/s per class on the live device.
+
+    Rate = extra elements processed / extra time between the two depths
+    (slope method: launch + loop-setup overheads cancel). The work sizes
+    must dwarf the dispatch-latency noise of a remote-TPU tunnel (~tens of
+    ms swings): at the default shape the depth delta is ~30 G element-ops
+    per class, hundreds of ms of VPU time. Medians over ``reps`` absorb
+    the residual swings. For non-fma classes the chain's stabilizing
+    arithmetic is discounted at the measured fma rate.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.full(shape, 0.33, jnp.float32)
+    elems = shape[0] * shape[1]
+    d_lo, d_hi = depths
+
+    def slope_time(op_name):
+        f_lo, _ = _rate_kernel(op_name, d_lo, shape)
+        f_hi, extra = _rate_kernel(op_name, d_hi, shape)
+        t_lo = _time_median(f_lo, x, reps)
+        t_hi = _time_median(f_hi, x, reps)
+        dt = t_hi - t_lo
+        if verbose:
+            print(f"#   [{op_name}] t_lo={t_lo:.4f}s t_hi={t_hi:.4f}s",
+                  flush=True)
+        if dt <= 0.05 * t_hi:
+            raise RuntimeError(
+                f"roofline microbenchmark '{op_name}' did not scale with "
+                f"depth (t_lo={t_lo:.4f}s, t_hi={t_hi:.4f}s): dispatch "
+                "noise dominates -- raise depths/shape"
+            )
+        return dt / ((d_hi - d_lo) * elems), extra
+
+    rates: dict[str, float] = {}
+    t_fma, _ = slope_time("fma")
+    rates["fma"] = 1.0 / t_fma
+    for cls in CLASSES:
+        if cls == "fma":
+            continue
+        t, extra_ops = slope_time(cls)
+        # subtract the stabilizing fma-class ops baked into each iteration
+        t_pure = max(t - (extra_ops - 1) * t_fma, 0.25 * t)
+        rates[cls] = 1.0 / t_pure
+    return rates
+
+
+def vpu_peak_ops_per_s(device_kind: str = "TPU v5 lite") -> float:
+    """Absolute VPU element-op issue ceiling for the chip.
+
+    Derivation (v5e): the public spec is 197 bf16 TFLOP/s from 4 MXUs of
+    128x128 MACs (2 flops each) -> clock = 197e12 / (4*128*128*2) ~=
+    1.50 GHz. The VPU is an (8, 128)-lane unit with 4 independent ALUs per
+    lane, so peak vector issue = 8*128 lanes * 4 ALUs * 1.50e9 Hz.
+    """
+    if "v5" not in device_kind and "v6" not in device_kind:
+        raise ValueError(
+            f"no VPU peak model for {device_kind!r}: add its clock/ALU "
+            "derivation here"
+        )
+    clock = 197e12 / (4 * 128 * 128 * 2)  # ~1.5e9
+    return 8 * 128 * 4 * clock
+
+
+def speed_of_light(
+    qc: QCLayout,
+    rates: dict[str, float] | None = None,
+    *,
+    k: int,
+    variant: str = "spa",
+    schedule: str = "layered",
+    mode: int = 1,
+    track_norm: bool = False,
+    mean_tile_iters: float = 1.0,
+    peak_ops_per_s: float | None = None,
+) -> dict:
+    """Lower-bound time per frame and ceiling info bits/s for the fused
+    kernel at a measured mean per-tile iteration count.
+
+    The primary bound divides the total census element-ops by the VPU's
+    absolute issue peak (``peak_ops_per_s``, default
+    :func:`vpu_peak_ops_per_s`) -- every op counted once, perfect issue.
+    When measured per-class ``rates`` are also given, a secondary
+    ``floor_*`` bound prices each class at its measured dependent-chain
+    floor (pessimistic: real kernels schedule better than a serial chain).
+    """
+    per_iter = decode_census(qc, variant, schedule, track_norm)
+    fixed = channel_census(qc, mode)
+    frame = fixed + per_iter.scaled(mean_tile_iters)
+
+    peak = peak_ops_per_s or vpu_peak_ops_per_s()
+    t_frame = frame.total() / peak
+    out = {
+        "per_iter_ops": {c: per_iter.counts[c] for c in CLASSES},
+        "fixed_ops": {c: fixed.counts[c] for c in CLASSES},
+        "mean_tile_iters": mean_tile_iters,
+        "vpu_peak_ops_per_s": peak,
+        "frame_ops": frame.total(),
+        "t_frame_s": t_frame,
+        "t_decode_iter_s": per_iter.total() / peak,
+        "t_fixed_s": fixed.total() / peak,
+        "ceiling_frames_per_s": 1.0 / t_frame,
+        "ceiling_info_bits_per_s": k / t_frame,
+    }
+    if rates is not None:
+        t_floor = sum(frame.counts[c] / rates[c] for c in CLASSES)
+        out["floor_t_frame_s"] = t_floor
+        out["floor_info_bits_per_s"] = k / t_floor
+    return out

@@ -59,6 +59,8 @@ def main() -> int:
     ap.add_argument("--schedule", default="layered")
     ap.add_argument("--out", default="examples/error_floor")
     ap.add_argument("--skip-curve", action="store_true")
+    ap.add_argument("--skip-profile", action="store_true",
+                    help="curve only (e.g. tail-point re-measurement)")
     ap.add_argument("--census-snr", type=float, default=None,
                     help="Also capture residual patterns at this SNR and "
                          "classify (a,b) trapping-set classes")
@@ -101,6 +103,9 @@ def main() -> int:
         )
         result = run_simulation(opts, code)
         result.to_json(str(out / "curve.json"))
+
+    if args.skip_profile:
+        return 0
 
     popts = SimOptions(blocks=4096, batch=4096, fused="off", **base)
     profiles = profile_sweep(

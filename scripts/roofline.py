@@ -1,0 +1,177 @@
+"""Roofline / speed-of-light report for the fused Monte-Carlo kernel.
+
+Measures (on the live TPU):
+  1. per-class VPU throughput via Pallas microkernels
+     (ldpc_tpu.analysis.roofline.measure_vpu_rates),
+  2. the bench operating point's mean per-tile decode iterations (the fused
+     kernel iterates each 128-lane tile until ALL its codewords pass the
+     syndrome check, so the work unit is the tile, not the codeword),
+  3. achieved full-pipeline throughput (bench.py methodology),
+
+then reports achieved info bits/s as a fraction of the analytic VPU-bound
+ceiling. Writes examples/roofline/{roofline.json,README.md}; bench.py picks
+the committed ceiling up and adds "pct_of_ceiling" to its stderr line.
+
+Usage (TPU):  python scripts/roofline.py [--out examples/roofline]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def mean_tile_iters(code, opts, snr_db: float, *, batches: int = 8) -> float:
+    """Mean decode-loop trip count per 128-lane tile at the operating point,
+    read from the fused kernel's per-tile ``iters`` output."""
+    import jax.numpy as jnp
+
+    from ldpc_tpu.ops.channel import ChannelParams
+    from ldpc_tpu.ops.encode import make_encoder_T, random_info_bits
+    from ldpc_tpu.ops.mc_pallas import consts_vector, make_mc_decoder
+
+    opts = opts.resolved()
+    qc = code.qc
+    spec = code.encode_spec(opts.encoding_method, opts.ru_gap)
+    info_pos = np.asarray(spec.info_pos("orig"), np.int32)
+    encode_T = make_encoder_T(spec, "orig")
+    mc_step = make_mc_decoder(
+        qc, info_pos, opts.iterations, opts.decoder_variant,
+        mode=opts.mode, modulation=opts.modulation,
+        alpha=opts.minsum_alpha, beta=opts.minsum_beta,
+        schedule=opts.schedule or "flooding",
+        track_norm=opts.normalized_llr,
+    )
+    consts = ChannelParams(
+        mode=opts.mode, modulation=opts.modulation, speed=opts.speed,
+        snr_db=snr_db, interference_snr_db=opts.interference_snr,
+        p=opts.p, noise_model=opts.noise_model,
+    ).consts()
+    cvec = consts_vector(consts)
+
+    @jax.jit
+    def run(key):
+        u = random_info_bits(key, opts.batch, code.k)
+        wT = encode_T(u)
+        seeds = jax.lax.bitcast_convert_type(
+            jax.random.bits(jax.random.fold_in(key, 1), (2,), jnp.uint32),
+            jnp.int32,
+        )
+        _, _, _, _, iters = mc_step(wT, cvec, seeds)
+        # iters is per-codeword but constant within each 128-lane tile
+        return jnp.mean(iters[::128].astype(jnp.float32))
+
+    vals = [float(run(jax.random.key(100 + i))) for i in range(batches)]
+    return float(np.mean(vals))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--code", default="builtin:wimax_1152_0.5.alist.txt")
+    ap.add_argument("--snr", type=float, default=2.0)
+    ap.add_argument("--iterations", type=int, default=12)
+    ap.add_argument("--schedule", default="layered")
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--bench-batches", type=int, default=320)
+    ap.add_argument("--out", default="examples/roofline")
+    args = ap.parse_args()
+
+    from ldpc_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from bench import measure_point
+    from ldpc_tpu.analysis.roofline import (
+        CLASSES,
+        measure_vpu_rates,
+        speed_of_light,
+        vpu_peak_ops_per_s,
+    )
+    from ldpc_tpu.sim.config import SimOptions
+    from ldpc_tpu.sim.runner import PointExecutor, load_code
+
+    code = load_code(args.code)
+    opts = SimOptions(
+        matrix=args.code, blocks=args.batch, iterations=args.iterations,
+        ber=True, fer=True, fidelity="exact", batch=args.batch, seed=0,
+        speed=code.k / code.n, schedule=args.schedule,
+    )
+
+    dev = jax.devices()[0].device_kind
+    print(f"# device={dev} code={code.name}", flush=True)
+
+    print("# measuring VPU per-class rates (Pallas microkernels)...",
+          flush=True)
+    rates = measure_vpu_rates(verbose=True)
+    for c in CLASSES:
+        print(f"#   {c:7s} {rates[c] / 1e9:8.2f} G elem-ops/s", flush=True)
+
+    print("# measuring mean per-tile decode iterations...", flush=True)
+    tile_iters = mean_tile_iters(code, opts, args.snr)
+    print(f"#   mean tile iters = {tile_iters:.3f} (max {args.iterations})",
+          flush=True)
+
+    peak = vpu_peak_ops_per_s(dev)
+    sol = speed_of_light(
+        code.qc, rates, k=code.k, variant=opts.decoder_variant,
+        schedule=args.schedule, mode=opts.mode,
+        track_norm=opts.normalized_llr, mean_tile_iters=tile_iters,
+        peak_ops_per_s=peak,
+    )
+
+    print("# measuring achieved throughput (bench methodology)...", flush=True)
+    executor = PointExecutor(code, opts)
+    _, windows, fer, bits_per_s = measure_point(
+        executor, code, args.snr, batch=args.batch,
+        n_batches=args.bench_batches, n_windows=3,
+    )
+    frac = bits_per_s / sol["ceiling_info_bits_per_s"]
+    sustained_ops = bits_per_s / code.k * sol["frame_ops"]
+
+    report = {
+        "device": dev,
+        "code": code.name,
+        "snr_db": args.snr,
+        "schedule": args.schedule,
+        "iterations": args.iterations,
+        "kernel": executor.kernel_used,
+        "vpu_peak_ops_per_s": peak,
+        "vpu_measured_floor_gops": {c: rates[c] / 1e9 for c in CLASSES},
+        "mean_tile_iters": tile_iters,
+        "fer": fer,
+        "per_iter_ops": sol["per_iter_ops"],
+        "fixed_ops": sol["fixed_ops"],
+        "frame_ops": sol["frame_ops"],
+        "t_frame_us": sol["t_frame_s"] * 1e6,
+        "ceiling_info_bits_per_s": sol["ceiling_info_bits_per_s"],
+        "floor_info_bits_per_s": sol["floor_info_bits_per_s"],
+        "achieved_info_bits_per_s": bits_per_s,
+        "sustained_vpu_ops_per_s": sustained_ops,
+        "fraction_of_ceiling": frac,
+    }
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "roofline.json").write_text(json.dumps(report, indent=1))
+
+    per_iter_tot = sum(sol["per_iter_ops"].values())
+    fixed_tot = sum(sol["fixed_ops"].values())
+    print(
+        f"\nceiling: {sol['ceiling_info_bits_per_s'] / 1e9:.3f} G info bits/s"
+        f"  ({per_iter_tot:,.0f} elem-ops/iter x {tile_iters:.2f} iters"
+        f" + {fixed_tot:,.0f} fixed at the {peak / 1e12:.2f} T op/s VPU "
+        "issue peak)\n"
+        f"achieved: {bits_per_s / 1e9:.3f} G info bits/s = "
+        f"{100 * frac:.1f}% of the VPU speed-of-light "
+        f"(sustained {sustained_ops / 1e12:.2f} T census-ops/s; "
+        f"measured-floor bound {sol['floor_info_bits_per_s'] / 1e9:.3f} G)",
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
