@@ -133,6 +133,13 @@ Examples:
     parser.add_argument("--kernel", type=str, choices=["auto", "pallas", "xla"],
                         default="auto",
                         help="Decode kernel: fused Pallas QC kernel or XLA gather decoder")
+    parser.add_argument("--msg-store", type=str, choices=["f32", "int8"],
+                        default="f32", dest="msg_store",
+                        help="Extrinsic-message storage in the Pallas "
+                             "kernels: 'int8' packs E onto the FER-free "
+                             "256-level grid (min-sum variants only; 3-4x "
+                             "smaller VMEM scratch, measured slightly "
+                             "slower -- a capacity knob)")
     parser.add_argument("--fused", type=str, choices=["auto", "on", "off"],
                         default="auto",
                         help="Fully-fused Monte-Carlo step (channel noise from the "
@@ -233,6 +240,7 @@ def options_from_args(args: argparse.Namespace) -> SimOptions:
         kernel=args.kernel,
         fused=args.fused,
         schedule=args.schedule,
+        msg_store=args.msg_store,
         shorten=args.shorten,
         puncture=args.puncture,
         target_errors=args.target_errors,

@@ -149,6 +149,7 @@ def make_mc_decoder(
     interpret: bool = False,
     debug_llr: bool = False,
     track_norm: bool = True,
+    msg_store: str = "f32",
 ):
     """Build ``mc_step(wT, consts_vec, seeds[, raw][, skip]) -> BlockStats-like``.
 
@@ -193,7 +194,9 @@ def make_mc_decoder(
     loop = make_decode_loop(
         qc, max_iterations, variant, alpha=alpha, beta=beta,
         tile_b=tile_b, schedule=schedule, k=k, track_norm=track_norm,
+        msg_store=msg_store,
     )
+    e_dtype = jnp.int8 if msg_store == "int8" else jnp.float32
 
     def channel_fill(x_blk, get, llr_ref, c):
         """Fill every base column's channel LLRs (log(p0/p1) domain).
@@ -369,7 +372,7 @@ def make_mc_decoder(
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[
-                pltpu.VMEM((mb, dcb, Z, tile_b), jnp.float32),  # E
+                pltpu.VMEM((mb, dcb, Z, tile_b), e_dtype),  # E
                 pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # L
             ] + (
                 [pltpu.VMEM((nb, Z, tile_b), jnp.float32)]  # prior
@@ -396,13 +399,19 @@ def make_mc_decoder(
 
 def mc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
                   tile_b: int = 128, noise_source: str = "hw",
-                  mode: int = 1, track_norm: bool = True) -> int:
+                  mode: int = 1, track_norm: bool = True,
+                  msg_store: str = "f32") -> int:
     """Resident VMEM of the fused MC kernel (scratch + blocks) per grid step."""
     lanes = max(tile_b, 128)
     row_slots = qc.row_slots()
     dcb = max((len(r) for r in row_slots), default=1)
     nbuf = 3 if track_norm else 2  # L (+ prior), llr
-    scratch = 4 * lanes * qc.Z * (qc.mb * dcb + nbuf * qc.nb)
+    if msg_store == "int8":
+        z_pad = -(-qc.Z // 32) * 32  # int8 sublane tile is 32 rows
+        e_bytes = 1 * lanes * qc.mb * dcb * z_pad
+    else:
+        e_bytes = 4 * lanes * qc.Z * qc.mb * dcb
+    scratch = e_bytes + 4 * lanes * qc.Z * nbuf * qc.nb
     io = 4 * lanes * qc.n  # w block
     if noise_source == "input":
         io += 4 * lanes * qc.n * DRAWS_PER_BIT[mode]
@@ -412,9 +421,10 @@ def mc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
 
 def mc_kernel_fits(qc: QCLayout, schedule: str = "flooding",
                    tile_b: int = 128, noise_source: str = "hw",
-                   mode: int = 1, track_norm: bool = True) -> bool:
+                   mode: int = 1, track_norm: bool = True,
+                   msg_store: str = "f32") -> bool:
     return mc_vmem_bytes(qc, schedule, tile_b, noise_source, mode,
-                         track_norm) <= VMEM_BUDGET
+                         track_norm, msg_store) <= VMEM_BUDGET
 
 
 def channel_llr_reference(

@@ -104,6 +104,13 @@ def resolve_alpha_schedule(alpha, variant, row_slots):
 
 _resolve_alpha_schedule = resolve_alpha_schedule  # backward-compat alias
 
+# int8 message grid for msg_store='int8': uniform 256 levels on [-24, 24]
+# (the FER-free grid from the message-precision study,
+# examples/quantized_messages -- min-sum magnitudes above 24 carry no
+# decision information at these clip settings)
+E_INT8_CLIP = 24.0
+E_INT8_SCALE = E_INT8_CLIP / 127.0
+
 
 def _sched_at(vec: np.ndarray, it):
     """``vec[min(it, T-1)]`` as a traced f32 scalar via a select chain.
@@ -177,6 +184,7 @@ def make_decode_loop(
     schedule: str = "flooding",
     k: int = 1,
     track_norm: bool = True,
+    msg_store: str = "f32",
 ):
     """Build the in-kernel decode loop shared by the standalone decoder and
     the fused Monte-Carlo kernel.
@@ -195,6 +203,16 @@ def make_decode_loop(
     The simulation runner requests it only when ``--normalized-llr`` is off,
     matching the reference, which computes the metric only when its settings
     flag is set (spa_decoder.py:206-228).
+
+    ``msg_store='int8'`` (min-sum family only) stores the extrinsic scratch
+    E as int8 on a uniform [-E_INT8_CLIP, E_INT8_CLIP] grid -- the
+    check->var message is quantized on write and dequantized on read, so L
+    and E stay mutually consistent (roll(L) - E reproduces the var->check
+    messages exactly). 3-4x smaller E scratch depending on Z's int8
+    sublane padding; FER cost none (examples/quantized_messages), speed
+    cost measured there too -- this kernel is VPU-issue-bound, so the
+    extra quantize/dequantize ops make it a capacity knob, not a speed
+    knob.
     """
     Z, nb, mb = qc.Z, qc.nb, qc.mb
     row_slots = qc.row_slots()
@@ -207,6 +225,35 @@ def make_decode_loop(
         variant, alpha if alpha_arr is None else 1.0, beta
     )
     TB = tile_b
+    if msg_store not in ("f32", "int8"):
+        raise ValueError(f"msg_store must be 'f32' or 'int8': {msg_store!r}")
+    int8_e = msg_store == "int8"
+    if int8_e and variant == "spa":
+        raise ValueError(
+            "msg_store='int8' requires a min-sum variant: the SPA tanh rule "
+            "loses FER under message quantization (examples/quantized_messages)"
+        )
+
+    def E_read(E_ref, bi, slot):
+        v = E_ref[bi, slot]
+        return v.astype(jnp.float32) * E_INT8_SCALE if int8_e else v
+
+    def E_quantize(val):
+        """f32 -> the exact f32 value the int8 store will reproduce."""
+        if not int8_e:
+            return val
+        q = jnp.round(
+            jnp.clip(val, -E_INT8_CLIP, E_INT8_CLIP) * (1.0 / E_INT8_SCALE)
+        )
+        return q * E_INT8_SCALE
+
+    def E_write(E_ref, bi, slot, val, active):
+        """Store an E_quantize'd value, freezing converged lanes."""
+        if int8_e:
+            q = jnp.round(val * (1.0 / E_INT8_SCALE)).astype(jnp.int8)
+            E_ref[bi, slot] = jnp.where(active, q, E_ref[bi, slot])
+        else:
+            E_ref[bi, slot] = jnp.where(active, val, E_ref[bi, slot])
 
     def alpha_of(it):
         """bi -> traced alpha scalar for iteration ``it`` (None = constant)."""
@@ -263,17 +310,17 @@ def make_decode_loop(
         for bi in range(mb):
             slots = row_slots[bi]
             msgs = [
-                _roll0(L_ref[bj], s, Z) - E_ref[bi, slot]
+                _roll0(L_ref[bj], s, Z) - E_read(E_ref, bi, slot)
                 for slot, (bj, s) in enumerate(slots)
             ]
             for slot, e in enumerate(check_update(msgs, a_of(bi))):
-                E_ref[bi, slot] = jnp.where(active, e, E_ref[bi, slot])
+                E_write(E_ref, bi, slot, E_quantize(e), active)
 
         # ---- posterior per base column ----
         for bj in range(nb):
             acc = llr_blk(bj)
             for bi, slot, s in col_slots[bj]:
-                acc = acc + _roll0(E_ref[bi, slot], -s, Z)
+                acc = acc + _roll0(E_read(E_ref, bi, slot), -s, Z)
             L_ref[bj] = acc
 
         ok_now = ~syndrome(lambda bj: L_ref[bj])
@@ -291,17 +338,17 @@ def make_decode_loop(
         for bi in range(mb):
             slots = row_slots[bi]
             msgs = [
-                _roll0(L_ref[bj], s, Z) - E_ref[bi, slot]
+                _roll0(L_ref[bj], s, Z) - E_read(E_ref, bi, slot)
                 for slot, (bj, s) in enumerate(slots)
             ]
-            e_new = check_update(msgs, a_of(bi))
+            e_new = [E_quantize(e) for e in check_update(msgs, a_of(bi))]
             dup = len({bj for bj, _ in slots}) < len(slots)
             if dup:
                 # multi-diagonal layer: both circulants of a doubled block
                 # feed the same base column -- accumulate extrinsic deltas
                 deltas: dict[int, jax.Array] = {}
                 for slot, (bj, s) in enumerate(slots):
-                    d = _roll0(e_new[slot] - E_ref[bi, slot], -s, Z)
+                    d = _roll0(e_new[slot] - E_read(E_ref, bi, slot), -s, Z)
                     deltas[bj] = d if bj not in deltas else deltas[bj] + d
                 for bj, d in deltas.items():
                     L_ref[bj] = jnp.where(active, L_ref[bj] + d, L_ref[bj])
@@ -310,8 +357,7 @@ def make_decode_loop(
                     l_new = _roll0(msgs[slot] + e_new[slot], -s, Z)
                     L_ref[bj] = jnp.where(active, l_new, L_ref[bj])
             for slot in range(len(slots)):
-                E_ref[bi, slot] = jnp.where(active, e_new[slot],
-                                            E_ref[bi, slot])
+                E_write(E_ref, bi, slot, e_new[slot], active)
 
         ok_now = ~syndrome(lambda bj: L_ref[bj])
         return norm_and_freeze(
@@ -327,9 +373,10 @@ def make_decode_loop(
             L_ref[bj] = llr_blk(bj)
             if track_norm:
                 prior_ref[bj] = llr_blk(bj)
+        e_zero = jnp.zeros((Z, TB), jnp.int8 if int8_e else jnp.float32)
         for bi in range(mb):
             for slot in range(len(row_slots[bi])):
-                E_ref[bi, slot] = jnp.zeros((Z, TB), jnp.float32)
+                E_ref[bi, slot] = e_zero
 
         def body(carry):
             # carries are f32/int32 vectors: Mosaic's while-loop layout
@@ -371,6 +418,7 @@ def make_qc_decoder(
     interpret: bool = False,
     schedule: str = "flooding",
     track_norm: bool = True,
+    msg_store: str = "f32",
 ):
     """Build ``decode(llr: f32 [B, n]) -> DecodeResult`` for a QC code.
 
@@ -401,7 +449,9 @@ def make_qc_decoder(
     loop = make_decode_loop(
         qc, max_iterations, variant, alpha=alpha, beta=beta,
         tile_b=tile_b, schedule=schedule, k=k, track_norm=track_norm,
+        msg_store=msg_store,
     )
+    e_dtype = jnp.int8 if msg_store == "int8" else jnp.float32
 
     def kernel(skip_ref, llr_ref, mask_ref, est_ref, ok_ref, conv_ref,
                norm_ref, iters_ref, E_ref, L_ref, *rest):
@@ -466,7 +516,7 @@ def make_qc_decoder(
                 jax.ShapeDtypeStruct((1, Bp), jnp.int32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((mb, dcb, Z, tile_b), jnp.float32),  # E
+                pltpu.VMEM((mb, dcb, Z, tile_b), e_dtype),  # E
                 pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # L
             ] + (
                 [pltpu.VMEM((nb, Z, tile_b), jnp.float32)]  # prior
@@ -493,7 +543,7 @@ VMEM_BUDGET = 14 << 20
 
 def qc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
                   tile_b: int = 128, extra_blocks: int = 0,
-                  track_norm: bool = True) -> int:
+                  track_norm: bool = True, msg_store: str = "f32") -> int:
     """Resident VMEM of the decode kernel for one grid step.
 
     Counts scratch (E + L, plus ``prior`` when ``track_norm``) plus the I/O
@@ -501,13 +551,19 @@ def qc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
     for callers that add inputs, e.g. the fused Monte-Carlo kernel's
     packed-codeword input). The lane dimension is padded to the 128-wide
     vector registers, so tiles below 128 lanes do NOT reduce the footprint --
-    tile_b is clamped up for accounting.
+    tile_b is clamped up for accounting. ``msg_store='int8'`` stores E at
+    1 byte/entry with the sublane dim padded to int8's 32-row tiles.
     """
     lanes = max(tile_b, 128)
     row_slots = qc.row_slots()
     dcb = max((len(r) for r in row_slots), default=1)
     l_blocks = 2 if track_norm else 1  # L (+ prior)
-    scratch = 4 * lanes * (qc.mb * dcb * qc.Z + l_blocks * qc.nb * qc.Z)
+    if msg_store == "int8":
+        z_pad = -(-qc.Z // 32) * 32  # int8 sublane tile is 32 rows
+        e_bytes = 1 * lanes * qc.mb * dcb * z_pad
+    else:
+        e_bytes = 4 * lanes * qc.mb * dcb * qc.Z
+    scratch = e_bytes + 4 * lanes * l_blocks * qc.nb * qc.Z
     io = 4 * lanes * qc.n * (2 + extra_blocks)  # llr in + est out (+ extras)
     mask = 4 * 128 * qc.n  # [n, 1] block still occupies one full lane group
     return scratch + io + mask

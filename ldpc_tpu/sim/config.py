@@ -95,6 +95,12 @@ class SimOptions:
     # mode -- slow, for tests); 'off': always use the unfused pipeline.
     fused: str = "auto"
     schedule: str = "flooding"  # 'flooding' (reference schedule) | 'layered' (QC serial-C)
+    # extrinsic (check->var message) storage in the Pallas kernels:
+    # 'int8' quantizes E to the FER-free 256-level grid of
+    # examples/quantized_messages (min-sum variants only; 3-4x smaller E
+    # scratch -- a VMEM-capacity knob, measured slightly slower since the
+    # kernel is VPU-issue-bound)
+    msg_store: str = "f32"  # 'f32' | 'int8'
     seed: int = 0
     exact_ber: bool = False  # also count undetected-error bits (not just failed frames)
     # scalar, or a per-iteration schedule (tuple) -- e.g. a learned one

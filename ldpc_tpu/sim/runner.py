@@ -77,6 +77,14 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
             "a per-iteration --minsum-alpha schedule requires "
             "--decoder normalized-minsum"
         )
+    int8_msgs = opts.msg_store == "int8"
+    if int8_msgs and variant not in ("minsum", "normalized_minsum",
+                                     "offset_minsum"):
+        raise ValueError(
+            "--msg-store int8 requires a min-sum decoder variant (the SPA "
+            "tanh rule loses FER under message quantization, "
+            "examples/quantized_messages)"
+        )
     eligible = (
         variant in _PALLAS_VARIANTS
         and opts.check_rule == "exact"
@@ -97,11 +105,19 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
             "check_rule='exact', decode_graph='orig' and an SPA/min-sum "
             "variant (base rows are the layers)"
         )
+    if int8_msgs and not use_pallas:
+        raise ValueError(
+            "--msg-store int8 is a Pallas-kernel storage knob: it requires "
+            "a configuration the QC kernel accepts (QC code, "
+            "check_rule='exact', decode_graph='orig', min-sum variant, "
+            "kernel 'auto' on TPU or 'pallas')"
+        )
     if use_pallas:
         from ldpc_tpu.ops.spa_pallas import qc_kernel_fits
 
         if not qc_kernel_fits(code.qc, schedule,
-                              track_norm=opts.normalized_llr):
+                              track_norm=opts.normalized_llr,
+                              msg_store=opts.msg_store):
             if want == "pallas":
                 hint = (
                     "; dropping --normalized-llr would free its VMEM scratch"
@@ -138,6 +154,7 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
                 # elide the per-iteration normalized-LLR bookkeeping (and
                 # its VMEM scratch) when the metric is not requested
                 track_norm=opts.normalized_llr,
+                msg_store=opts.msg_store,
             )
         if schedule == "layered":
             from ldpc_tpu.ops.layered import make_qc_layered_decoder
@@ -299,7 +316,7 @@ class PointExecutor:
 
             fused_eligible = mc_kernel_fits(
                 code.qc, schedule, noise_source=noise_source, mode=opts.mode,
-                track_norm=opts.normalized_llr,
+                track_norm=opts.normalized_llr, msg_store=opts.msg_store,
             )
         if opts.fused == "on" and not fused_eligible:
             raise ValueError(
@@ -345,6 +362,7 @@ class PointExecutor:
                 noise_source=noise_source,
                 interpret=not on_tpu,
                 track_norm=opts.normalized_llr,
+                msg_store=opts.msg_store,
             )
             draws = DRAWS_PER_BIT[opts.mode]
             n = code.n
