@@ -571,9 +571,9 @@ def qc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
 
 def qc_kernel_fits(qc: QCLayout, schedule: str = "flooding",
                    tile_b: int = 128, extra_blocks: int = 0,
-                   track_norm: bool = True) -> bool:
+                   track_norm: bool = True, msg_store: str = "f32") -> bool:
     return qc_vmem_bytes(qc, schedule, tile_b, extra_blocks,
-                         track_norm) <= VMEM_BUDGET
+                         track_norm, msg_store) <= VMEM_BUDGET
 
 
 def pick_tile_b(qc: QCLayout, schedule: str = "flooding") -> int:
