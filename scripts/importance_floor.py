@@ -39,7 +39,17 @@ def main() -> int:
     ap.add_argument("--schedule", default="layered")
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--census",
-                    default="examples/error_floor/trapping_census.json")
+                    default="examples/error_floor/trapping_census.json",
+                    help="trapping census JSON for shift targets ('' = none)")
+    ap.add_argument("--capture-kind", default="undetected",
+                    choices=["undetected", "detected", "none"],
+                    help="residual kind to capture on-device as shift "
+                         "targets (undetected = codeword events; detected "
+                         "= trapping supports, for codes whose floor is "
+                         "trapping-driven, e.g. girth-4 WRAN)")
+    ap.add_argument("--capture-snr", type=float, default=2.5)
+    ap.add_argument("--capture-min", type=int, default=8)
+    ap.add_argument("--capture-max-blocks", type=int, default=2_000_000)
     ap.add_argument("--validate-snrs", default="3.5,3.75,4.0,4.25,4.5")
     ap.add_argument("--deep-snrs", default="5.0,5.5,6.0,6.5")
     ap.add_argument("--validate-frames", type=int, default=2_000_000)
@@ -77,26 +87,34 @@ def main() -> int:
           flush=True)
 
     # ---- 1. shift targets ----
-    print("# capturing undetected-error codeword residuals at 2.5 dB...",
-          flush=True)
-    pats, seen, frames = collect_failure_patterns(
-        code, opts, 2.5, min_patterns=8, max_blocks=2_000_000,
-        max_patterns=16, kind="undetected",
-    )
-    cw_supports = []
-    for p in np.asarray(pats):
-        sup = np.flatnonzero(p).tolist()
-        if 0 < len(sup) <= args.max_support:
-            cw_supports.append(sup)
-    print(f"#   {len(cw_supports)} codeword supports "
-          f"(weights {[len(s) for s in cw_supports]}) "
-          f"from {seen} events / {frames} frames", flush=True)
+    cw_supports: list[list[int]] = []
+    if args.capture_kind != "none":
+        print(f"# capturing {args.capture_kind} residuals at "
+              f"{args.capture_snr:g} dB...", flush=True)
+        pats, seen, frames = collect_failure_patterns(
+            code, opts, args.capture_snr, min_patterns=args.capture_min,
+            max_blocks=args.capture_max_blocks,
+            max_patterns=2 * args.capture_min,
+            kind=args.capture_kind,
+        )
+        for p in np.asarray(pats):
+            sup = np.flatnonzero(p).tolist()
+            if 0 < len(sup) <= args.max_support:
+                cw_supports.append(sup)
+        # dedup identical supports from repeat captures
+        cw_supports = [list(s) for s in
+                       {tuple(s) for s in cw_supports}]
+        print(f"#   {len(cw_supports)} captured supports "
+              f"(sizes {sorted(len(s) for s in cw_supports)}) "
+              f"from {seen} events / {frames} frames", flush=True)
 
-    census = json.loads(Path(args.census).read_text())
-    ts_supports = [
-        r["support"] for r in census.get("recurring_supports", [])
-        if 0 < len(r["support"]) <= args.max_support
-    ]
+    ts_supports: list[list[int]] = []
+    if args.census and Path(args.census).exists():
+        census = json.loads(Path(args.census).read_text())
+        ts_supports = [
+            r["support"] for r in census.get("recurring_supports", [])
+            if 0 < len(r["support"]) <= args.max_support
+        ]
     print(f"#   {len(ts_supports)} recurring trapping supports from census",
           flush=True)
 

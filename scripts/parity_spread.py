@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -29,6 +30,8 @@ SCENARIOS = {
     # tag -> (ref json, extra SimOptions fields)
     "mode2": ("parity_runs/ref_mode2.json",
               dict(mode=2, p=0.05, interference_snr=10.0)),
+    "mode2_deep": ("parity_runs/ref_mode2_deep.json",
+                   dict(mode=2, p=0.05, interference_snr=10.0)),
     "mode3": ("parity_runs/ref_mode3.json",
               dict(mode=3, p=0.1, interference_snr=6.0)),
     "qpsk": ("parity_runs/ref_qpsk.json", dict(mode=1, modulation=2)),
@@ -39,6 +42,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=30)
     ap.add_argument("--out", default="parity_runs/spread.json")
+    ap.add_argument("--scenarios", default=None,
+                    help="comma list (default: all whose ref json exists)")
     args = ap.parse_args()
 
     import jax
@@ -48,7 +53,12 @@ def main() -> int:
 
     code = load_code("builtin:wimax_576_0.5.alist.txt")
     out = {}
+    wanted = set(args.scenarios.split(",")) if args.scenarios else None
     for tag, (ref_path, extra) in SCENARIOS.items():
+        if wanted is not None and tag not in wanted:
+            continue
+        if wanted is None and not os.path.exists(ref_path):
+            continue  # optional scenario whose reference run is absent
         ref = json.load(open(ref_path))
         n_ref = ref["config"]["blocks"]
         opts = SimOptions(
