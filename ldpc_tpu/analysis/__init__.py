@@ -1,4 +1,5 @@
-"""Analysis tools: density evolution, EXIT charts, thresholds, failure profiling."""
+"""Analysis tools: density evolution, EXIT charts, thresholds, failure
+profiling, importance-sampled error floors, roofline accounting."""
 
 from ldpc_tpu.analysis.density_evolution import (
     bec_erasure_fixed_point,
@@ -36,6 +37,19 @@ from ldpc_tpu.analysis.exit import (
     tunnel_gap,
     vnd_curve,
 )
+from ldpc_tpu.analysis.importance import (
+    ISResult,
+    estimate_point,
+    make_is_step,
+    orbit_supports,
+)
+from ldpc_tpu.analysis.roofline import (
+    channel_census,
+    decode_census,
+    measure_vpu_rates,
+    speed_of_light,
+    vpu_peak_ops_per_s,
+)
 
 __all__ = [
     "bec_erasure_fixed_point",
@@ -64,4 +78,13 @@ __all__ = [
     "profile_sweep",
     "trapping_census",
     "weight_summary",
+    "ISResult",
+    "estimate_point",
+    "make_is_step",
+    "orbit_supports",
+    "channel_census",
+    "decode_census",
+    "measure_vpu_rates",
+    "speed_of_light",
+    "vpu_peak_ops_per_s",
 ]
