@@ -61,7 +61,6 @@ bits/s its 50-300-block sweeps resolve FER ~2e-2 (SURVEY.md section 6).
 from __future__ import annotations
 
 import json
-import math
 from dataclasses import dataclass
 
 import jax
