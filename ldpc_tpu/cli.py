@@ -146,6 +146,14 @@ Examples:
                              "in-kernel TPU PRNG + decode + counters in one Pallas "
                              "kernel). 'auto': on TPU whenever eligible; 'off': keep "
                              "the XLA pipeline around the decode kernel")
+    parser.add_argument("--two-phase", type=str, default="auto",
+                        dest="two_phase", metavar="{auto,off,N}",
+                        help="Two-phase fused dispatch: phase 1 decodes every "
+                             "frame for N iterations (auto: half the budget), "
+                             "then only the unconverged frames are compacted "
+                             "and re-decoded with the full budget -- "
+                             "bit-identical results, ~1.4x at waterfall "
+                             "operating points")
     parser.add_argument("--schedule", type=str, choices=["flooding", "layered"],
                         default="flooding",
                         help="Message-passing schedule: 'flooding' (the reference's) "
@@ -239,6 +247,7 @@ def options_from_args(args: argparse.Namespace) -> SimOptions:
         exact_ber=args.exact_ber,
         kernel=args.kernel,
         fused=args.fused,
+        two_phase=args.two_phase,
         schedule=args.schedule,
         msg_store=args.msg_store,
         shorten=args.shorten,

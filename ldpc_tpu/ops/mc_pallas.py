@@ -148,6 +148,7 @@ def make_mc_decoder(
     noise_source: str = "hw",
     interpret: bool = False,
     debug_llr: bool = False,
+    emit_llr: bool = False,
     track_norm: bool = True,
     msg_store: str = "f32",
 ):
@@ -165,6 +166,14 @@ def make_mc_decoder(
     iters)`` with shapes int32/bool/int32/f32/int32 [B]; ``err_bits`` counts
     info-bit mismatches vs the transmitted word for EVERY frame (callers
     apply the reference's failed-frames-only rule, metrics.block_stats).
+
+    ``emit_llr=True`` appends the in-kernel channel LLRs (f32 [n, B], in the
+    DECODE domain, i.e. negated log(p0/p1)) as a sixth output -- the
+    production hook for two-phase dispatch (sim.runner): frames this kernel
+    leaves unconverged are compacted and re-decoded from exactly these LLR
+    bits by :func:`make_llr_decoder`, which replays the identical per-lane
+    trajectory (every decode op is lane-wise). ``debug_llr`` is the test
+    variant of the same output, restricted to the injected-noise source.
     """
     variant = variant.lower().replace("-", "_")
     if variant not in ("spa", "minsum", "normalized_minsum", "offset_minsum"):
@@ -179,6 +188,7 @@ def make_mc_decoder(
         raise ValueError(f"Unknown noise source: {noise_source!r}")
     if debug_llr and noise_source != "input":
         raise ValueError("debug_llr is an injected-noise test hook")
+    emit = debug_llr or emit_llr
 
     n, Z, nb, mb = qc.n, qc.Z, qc.nb, qc.mb
     row_slots = qc.row_slots()
@@ -241,14 +251,14 @@ def make_mc_decoder(
                 llr_ref[bj] = -llr
 
     def kernel(consts_ref, seeds_ref, skip_ref, w_ref, mask_ref, *refs):
-        if hw:
-            err_ref, ok_ref, conv_ref, norm_ref, iters_ref = refs[:5]
-            rest = refs[5:]
-            dllr_ref = None
-        else:
-            raw_in, err_ref, ok_ref, conv_ref, norm_ref, iters_ref = refs[:6]
-            rest = refs[6:]
-            dllr_ref = rest[0] if debug_llr else None
+        idx = 0
+        if not hw:
+            raw_in = refs[idx]
+            idx += 1
+        err_ref, ok_ref, conv_ref, norm_ref, iters_ref = refs[idx:idx + 5]
+        idx += 5
+        dllr_ref = refs[idx] if emit else None
+        rest = refs[idx + 1 if emit else idx:]
         if track_norm:
             E_ref, L_ref, prior_ref, llr_ref = rest[-4:]
         else:
@@ -280,11 +290,12 @@ def make_mc_decoder(
 
         # ---- channel: fill the LLR scratch, two base columns per draw ----
         channel_fill(x_blk, get, llr_ref, c)
-        if not hw and debug_llr:
+        if dllr_ref is not None:
             # expose the EXACT in-kernel LLR bits (decode domain): the
             # channel math compiles with FMA contraction inside the kernel
-            # program, so an eager host replay can differ by 1 ulp -- tests
-            # needing strict decode bit-identity must consume these
+            # program, so an eager host replay can differ by 1 ulp --
+            # two-phase dispatch (and tests needing strict decode
+            # bit-identity) must consume these
             for bj in range(nb):
                 dllr_ref[pl.ds(bj * Z, Z), :] = llr_ref[bj]
 
@@ -360,7 +371,7 @@ def make_mc_decoder(
             out_row(jnp.float32),
             out_row(jnp.int32),
         ]
-        if debug_llr:
+        if emit:
             out_specs.append(
                 pl.BlockSpec((n, tile_b), lambda b: (0, b),
                              memory_space=pltpu.VMEM)
@@ -390,18 +401,167 @@ def make_mc_decoder(
             norm[0, :B],
             iters[0, :B],
         )
-        if debug_llr:
+        if emit:
             result = result + (outs[5][:, :B],)
         return result
 
     return mc_step
 
 
+def make_llr_decoder(
+    qc: QCLayout,
+    info_pos: np.ndarray,
+    max_iterations: int,
+    variant: str = "spa",
+    *,
+    alpha: float = 0.75,
+    beta: float = 0.15,
+    tile_b: int = 128,
+    schedule: str = "flooding",
+    interpret: bool = False,
+    track_norm: bool = True,
+    msg_store: str = "f32",
+):
+    """Decode-from-LLRs with in-kernel counters and a per-lane pre-done mask.
+
+    Phase 2 of the two-phase fused dispatch (sim.runner): the fused
+    Monte-Carlo kernel runs a SHORT decode for every frame and emits its
+    in-kernel LLRs (``emit_llr``); the caller compacts the unconverged
+    frames to the front lanes and re-decodes only those here with the full
+    iteration budget. Because every decode op is lane-wise, replaying a
+    frame's exact LLR bits from iteration 0 reproduces the single-pass
+    trajectory bit-for-bit -- tiles whose lanes are all pre-done exit before
+    iteration 0, so the cost is ~ceil(unconverged/tile_b) tiles instead of
+    the whole batch (at a waterfall point the mean tile trip count drops
+    from ~max_iterations to ~phase1_iters + FER_phase1 * max_iterations).
+
+    Returns ``llr_step(llrT, wT, done0) -> (err_bits, ok, conv_iter,
+    norm_llr, iters)`` with the same shapes/conventions as
+    :func:`make_mc_decoder`. ``llrT``: f32 [n, B] channel LLRs in the DECODE
+    domain (as emitted by ``emit_llr``); ``wT``: f32 [n, B] transmitted bits
+    (same lane order as ``llrT``); ``done0``: f32 [B], 1.0 pre-marks a lane
+    converged (its outputs are placeholders the caller must discard).
+    """
+    variant = variant.lower().replace("-", "_")
+    if variant not in ("spa", "minsum", "normalized_minsum", "offset_minsum"):
+        raise ValueError(f"LLR kernel does not support variant {variant!r}")
+    if schedule not in ("flooding", "layered"):
+        raise ValueError(f"Unknown schedule: {schedule!r}")
+
+    n, Z, nb, mb = qc.n, qc.Z, qc.nb, qc.mb
+    row_slots = qc.row_slots()
+    dcb = max((len(r) for r in row_slots), default=1)
+    k = int(np.asarray(info_pos).shape[0])
+
+    info_mask = np.zeros((n, 1), dtype=np.float32)
+    info_mask[np.asarray(info_pos, dtype=np.int64), 0] = 1.0
+
+    loop = make_decode_loop(
+        qc, max_iterations, variant, alpha=alpha, beta=beta,
+        tile_b=tile_b, schedule=schedule, k=k, track_norm=track_norm,
+        msg_store=msg_store,
+    )
+    e_dtype = jnp.int8 if msg_store == "int8" else jnp.float32
+
+    def kernel(w_ref, llr_ref, done_ref, mask_ref, err_ref, ok_ref,
+               conv_ref, norm_ref, iters_ref, E_ref, L_ref, *rest):
+        prior_ref = rest[0] if track_norm else None
+        TB = tile_b
+
+        def llr_blk(j):
+            return llr_ref[pl.ds(j * Z, Z), :]
+
+        def mask_blk(j):
+            return mask_ref[pl.ds(j * Z, Z), :]
+
+        def x_blk(j):
+            return w_ref[pl.ds(j * Z, Z), :]
+
+        it, done_f, conv, norm = loop(
+            llr_blk, mask_blk, E_ref, L_ref, prior_ref,
+            skip_f=done_ref[:],
+        )
+
+        err = jnp.zeros((1, TB), jnp.float32)
+        for bj in range(nb):
+            est = (L_ref[bj] < 0).astype(jnp.float32)
+            neq = (est != x_blk(bj)).astype(jnp.float32)
+            err = err + jnp.sum(neq * mask_blk(bj), axis=0, keepdims=True)
+
+        err_ref[:] = err
+        ok_ref[:] = done_f
+        conv_ref[:] = conv
+        norm_ref[:] = norm
+        iters_ref[:] = jnp.full((1, TB), it, jnp.int32)
+
+    grid_kernel = functools.partial(pl.pallas_call, kernel, interpret=interpret)
+    mask_const = jnp.asarray(info_mask)
+
+    def llr_step(llrT: jax.Array, wT: jax.Array, done0: jax.Array):
+        B = llrT.shape[1]
+        Bp = -(-B // tile_b) * tile_b
+        llr = llrT.astype(jnp.float32)
+        w = wT.astype(jnp.float32)
+        # padded lanes pre-done: tiles made purely of padding never iterate
+        d = jnp.reshape(done0.astype(jnp.float32), (1, B))
+        if Bp != B:
+            llr = jnp.pad(llr, ((0, 0), (0, Bp - B)))
+            w = jnp.pad(w, ((0, 0), (0, Bp - B)))
+            d = jnp.pad(d, ((0, 0), (0, Bp - B)), constant_values=1.0)
+        grid = (Bp // tile_b,)
+
+        out_row = lambda dt: jax.ShapeDtypeStruct((1, Bp), dt)
+        row_spec = pl.BlockSpec((1, tile_b), lambda b: (0, b),
+                                memory_space=pltpu.VMEM)
+        err, ok_f, conv, norm, iters = grid_kernel(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((n, tile_b), lambda b: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, tile_b), lambda b: (0, b),
+                             memory_space=pltpu.VMEM),
+                row_spec,
+                pl.BlockSpec((n, 1), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[row_spec] * 5,
+            out_shape=[
+                out_row(jnp.float32),
+                out_row(jnp.float32),
+                out_row(jnp.int32),
+                out_row(jnp.float32),
+                out_row(jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((mb, dcb, Z, tile_b), e_dtype),  # E
+                pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # L
+            ] + (
+                [pltpu.VMEM((nb, Z, tile_b), jnp.float32)]  # prior
+                if track_norm else []
+            ),
+        )(w, llr, d, mask_const)
+
+        return (
+            err[0, :B].astype(jnp.int32),
+            ok_f[0, :B] > 0,
+            conv[0, :B],
+            norm[0, :B],
+            iters[0, :B],
+        )
+
+    return llr_step
+
+
 def mc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
                   tile_b: int = 128, noise_source: str = "hw",
                   mode: int = 1, track_norm: bool = True,
-                  msg_store: str = "f32") -> int:
-    """Resident VMEM of the fused MC kernel (scratch + blocks) per grid step."""
+                  msg_store: str = "f32", emit_llr: bool = False) -> int:
+    """Resident VMEM of the fused MC kernel (scratch + blocks) per grid step.
+
+    ``emit_llr=True`` adds the [n, lanes] LLR output block (two-phase
+    dispatch); the same accounting also bounds :func:`make_llr_decoder`
+    (its llr INPUT block replaces the emit output, its done row is noise).
+    """
     lanes = max(tile_b, 128)
     row_slots = qc.row_slots()
     dcb = max((len(r) for r in row_slots), default=1)
@@ -413,6 +573,8 @@ def mc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
         e_bytes = 4 * lanes * qc.Z * qc.mb * dcb
     scratch = e_bytes + 4 * lanes * qc.Z * nbuf * qc.nb
     io = 4 * lanes * qc.n  # w block
+    if emit_llr:
+        io += 4 * lanes * qc.n  # llr output block
     if noise_source == "input":
         io += 4 * lanes * qc.n * DRAWS_PER_BIT[mode]
     mask = 4 * 128 * qc.n
@@ -422,9 +584,9 @@ def mc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
 def mc_kernel_fits(qc: QCLayout, schedule: str = "flooding",
                    tile_b: int = 128, noise_source: str = "hw",
                    mode: int = 1, track_norm: bool = True,
-                   msg_store: str = "f32") -> bool:
+                   msg_store: str = "f32", emit_llr: bool = False) -> bool:
     return mc_vmem_bytes(qc, schedule, tile_b, noise_source, mode,
-                         track_norm, msg_store) <= VMEM_BUDGET
+                         track_norm, msg_store, emit_llr) <= VMEM_BUDGET
 
 
 def channel_llr_reference(

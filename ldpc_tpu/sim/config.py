@@ -94,6 +94,16 @@ class SimOptions:
     # no mesh); 'on': force (CPU uses the injected-noise variant in interpret
     # mode -- slow, for tests); 'off': always use the unfused pipeline.
     fused: str = "auto"
+    # two-phase fused dispatch: phase 1 decodes EVERY frame for a short
+    # budget and emits its in-kernel LLRs; the ~FER(phase1) unconverged
+    # frames are compacted to the front lanes and re-decoded from exactly
+    # those LLR bits with the full budget (bit-identical per frame -- decode
+    # is lane-wise-deterministic, tests/test_two_phase.py). At a waterfall
+    # point this cuts mean tile trips from ~max_iterations to
+    # ~phase1 + FER(phase1)*max_iterations. 'auto': phase1 = max_iterations
+    # // 2 when the fused kernel runs with >= 8 iterations; 'off'; or an
+    # explicit phase-1 iteration count (0 < N < max_iterations).
+    two_phase: str = "auto"
     schedule: str = "flooding"  # 'flooding' (reference schedule) | 'layered' (QC serial-C)
     # extrinsic (check->var message) storage in the Pallas kernels:
     # 'int8' quantizes E to the FER-free 256-level grid of

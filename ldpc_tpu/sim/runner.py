@@ -60,6 +60,32 @@ def load_code(path: str) -> LDPCCode:
 _PALLAS_VARIANTS = ("spa", "minsum", "normalized_minsum", "offset_minsum")
 
 
+def resolve_two_phase(two_phase: str | int, max_iterations: int) -> int:
+    """Phase-1 iteration count for two-phase fused dispatch, or 0 for off.
+
+    'auto' splits the budget in half once there is enough of one to split
+    (>= 8 iterations: below that phase 1 converges too little for the
+    compaction to pay for the extra dispatch); 'off' disables; an explicit
+    N must satisfy 0 < N < max_iterations. Results are bit-identical either
+    way (tests/test_two_phase.py), so this is purely a dispatch knob."""
+    if two_phase in ("off", "0", 0):
+        return 0
+    if two_phase == "auto":
+        return max_iterations // 2 if max_iterations >= 8 else 0
+    try:
+        n = int(two_phase)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"--two-phase must be 'auto', 'off' or an integer: {two_phase!r}"
+        ) from None
+    if not 0 < n < max_iterations:
+        raise ValueError(
+            f"--two-phase phase-1 iterations must be in (0, max_iterations="
+            f"{max_iterations}): {n}"
+        )
+    return n
+
+
 def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
     """Pick the decode kernel: the fused QC Pallas kernel when the code is
     quasi-cyclic and the configuration supports it, else the XLA decoder.
@@ -311,13 +337,22 @@ class PointExecutor:
             # batch axis to shard over, and a step the caller won't vmap)
             and (mesh is None or (bool(batch_axes) and not step_vmapped))
         )
+        phase1 = resolve_two_phase(opts.two_phase, self.max_iterations)
         if fused_eligible:
             from ldpc_tpu.ops.mc_pallas import mc_kernel_fits
 
             fused_eligible = mc_kernel_fits(
                 code.qc, schedule, noise_source=noise_source, mode=opts.mode,
                 track_norm=opts.normalized_llr, msg_store=opts.msg_store,
+                emit_llr=bool(phase1),
             )
+            if not fused_eligible and phase1 and mc_kernel_fits(
+                code.qc, schedule, noise_source=noise_source, mode=opts.mode,
+                track_norm=opts.normalized_llr, msg_store=opts.msg_store,
+            ):
+                # the LLR-emit block alone overflows VMEM: run single-phase
+                phase1 = 0
+                fused_eligible = True
         if opts.fused == "on" and not fused_eligible:
             raise ValueError(
                 "fused='on' requires a QC code, check_rule='exact', "
@@ -345,15 +380,12 @@ class PointExecutor:
             from ldpc_tpu.ops.mc_pallas import (
                 DRAWS_PER_BIT,
                 consts_vector,
+                make_llr_decoder,
                 make_mc_decoder,
             )
 
             encode_T = make_encoder_T(spec, self.graph)
-            mc = make_mc_decoder(
-                code.qc,
-                info_pos,
-                self.max_iterations,
-                opts.decoder_variant,
+            kernel_kw = dict(
                 mode=opts.mode,
                 modulation=self.modulation,
                 alpha=opts.minsum_alpha,
@@ -364,14 +396,60 @@ class PointExecutor:
                 track_norm=opts.normalized_llr,
                 msg_store=opts.msg_store,
             )
+            decode_kw = {
+                k: v for k, v in kernel_kw.items()
+                if k not in ("mode", "modulation", "noise_source")
+            }
+            mc = make_mc_decoder(
+                code.qc, info_pos,
+                phase1 or self.max_iterations,
+                opts.decoder_variant,
+                emit_llr=bool(phase1),
+                **kernel_kw,
+            )
+            if phase1:
+                # phase 2: full-budget re-decode of the frames phase 1 left
+                # unconverged, from the exact in-kernel LLR bits -- lane-wise
+                # determinism makes the composition bit-identical to a
+                # single-pass decode at max_iterations (tests/test_two_phase)
+                llr_dec = make_llr_decoder(
+                    code.qc, info_pos, self.max_iterations,
+                    opts.decoder_variant, **decode_kw,
+                )
+
+                def mc_base(wT, cv, seeds, raw=None, skip=None):
+                    outs = (
+                        mc(wT, cv, seeds, skip=skip) if raw is None
+                        else mc(wT, cv, seeds, raw, skip=skip)
+                    )
+                    err1, ok1, conv1, norm1, it1, llrT = outs
+                    # compact unconverged frames to the front lanes: sort
+                    # keys are 0 (unconverged) before 1 (converged)
+                    order = jnp.argsort(ok1.astype(jnp.int32))
+                    llr_s = jnp.take(llrT, order, axis=1)
+                    w_s = jnp.take(wT, order, axis=1)
+                    done0 = ok1[order].astype(jnp.float32)
+                    err2, ok2, conv2, norm2, it2 = llr_dec(llr_s, w_s, done0)
+
+                    def unsort(x):
+                        return jnp.zeros_like(x).at[order].set(x)
+
+                    err = jnp.where(ok1, err1, unsort(err2))
+                    conv = jnp.where(ok1, conv1, unsort(conv2))
+                    norm = jnp.where(ok1, norm1, unsort(norm2))
+                    ok = ok1 | unsort(ok2)
+                    iters = jnp.maximum(it1, unsort(it2))
+                    return err, ok, conv, norm, iters
+            else:
+                def mc_base(wT, cv, seeds, raw=None, skip=None):
+                    if raw is None:
+                        return mc(wT, cv, seeds, skip=skip)
+                    return mc(wT, cv, seeds, raw, skip=skip)
+
             draws = DRAWS_PER_BIT[opts.mode]
             n = code.n
 
-            mc_call = (
-                lambda wT, cv, seeds, raw=None, skip=None:
-                mc(wT, cv, seeds, skip=skip) if raw is None
-                else mc(wT, cv, seeds, raw, skip=skip)
-            )
+            mc_call = mc_base
             if mesh is not None and batch_axes:
                 # pallas_call is opaque to XLA's SPMD partitioner, so the
                 # mesh path runs the kernel under shard_map: every device
@@ -394,10 +472,12 @@ class PointExecutor:
                     return seeds.at[1].add(idx * jnp.int32(-1640531527))
 
                 def _local(wT, cv, seeds, raw, skip):
+                    # two-phase compaction (mc_base) stays INSIDE the shard:
+                    # each device sorts and re-decodes its own batch shard
                     if noise_source == "hw":
                         seeds = _shard_seeds(seeds)
-                        return mc(wT, cv, seeds, skip=skip)
-                    return mc(wT, cv, seeds, raw, skip=skip)
+                        return mc_base(wT, cv, seeds, skip=skip)
+                    return mc_base(wT, cv, seeds, raw, skip=skip)
 
                 raw_spec = (
                     PS() if noise_source == "hw"
@@ -484,7 +564,9 @@ class PointExecutor:
             self._chunk = jax.jit(fused_chunk, static_argnums=3)
             self.kernel_used = "pallas+fused" + (
                 "+layered" if schedule == "layered" else ""
-            ) + ("+mesh" if mesh is not None and batch_axes else "")
+            ) + (f"+2phase({phase1})" if phase1 else "") + (
+                "+mesh" if mesh is not None and batch_axes else ""
+            )
         else:
             self._build_unfused(
                 code, opts, layout, info_pos, spec, il_kind, sharding,
@@ -759,6 +841,9 @@ def sweep_fingerprint(config: SimulationConfig) -> tuple:
         # batch shapes the key->codeword stream (keys fold per batch index),
         # so a different batch size is a DIFFERENT sweep, not a resumable one
         config.batch,
+        # two_phase is deliberately ABSENT: it is a dispatch knob with
+        # bit-identical counters (tests/test_two_phase.py), so checkpoints
+        # resume across it
     )
 
 

@@ -1,0 +1,175 @@
+"""Two-phase fused dispatch (phase-1 short decode + compacted re-decode).
+
+The claim that makes two-phase a pure dispatch knob: every decode op is
+lane-wise, so a frame's trajectory is a deterministic function of its channel
+LLR vector alone. Re-decoding an unconverged frame FROM SCRATCH with the full
+iteration budget therefore replays its single-pass trajectory bit-for-bit --
+the composition (short decode for all + full decode for the unconverged) must
+equal the single-pass decode on every output. These tests pin that equality
+through the runner's own composition logic (runner.resolve_two_phase +
+mc_base) at the ops layer, using the injected-noise kernel in interpret mode.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpc_tpu.models.code import LDPCCode
+from ldpc_tpu.models.standards import ccsds
+from ldpc_tpu.ops.channel import ChannelParams
+from ldpc_tpu.ops.encode import make_encoder_T, random_info_bits
+from ldpc_tpu.ops.mc_pallas import (
+    DRAWS_PER_BIT,
+    consts_vector,
+    make_llr_decoder,
+    make_mc_decoder,
+    mc_kernel_fits,
+    mc_vmem_bytes,
+)
+from ldpc_tpu.sim.runner import resolve_two_phase
+
+slow = pytest.mark.slow
+
+
+def test_resolve_two_phase():
+    assert resolve_two_phase("off", 12) == 0
+    assert resolve_two_phase("auto", 12) == 6
+    assert resolve_two_phase("auto", 7) == 0  # too small a budget to split
+    assert resolve_two_phase("auto", 8) == 4
+    assert resolve_two_phase("5", 12) == 5
+    assert resolve_two_phase(5, 12) == 5
+    with pytest.raises(ValueError):
+        resolve_two_phase("12", 12)  # phase 1 must leave budget for phase 2
+    with pytest.raises(ValueError):
+        resolve_two_phase("-1", 12)
+    with pytest.raises(ValueError):
+        resolve_two_phase("banana", 12)
+
+
+def test_cli_two_phase_flag():
+    from ldpc_tpu.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["--matrix", "builtin:wimax_576_0.5.alist.txt", "--two-phase", "6"]
+    )
+    assert args.two_phase == "6"
+    assert build_parser().parse_args(
+        ["--matrix", "x"]
+    ).two_phase == "auto"
+
+
+def test_emit_llr_vmem_accounting():
+    code = LDPCCode(alist=ccsds(128), name="ccsds_128")
+    base = mc_vmem_bytes(code.qc)
+    with_llr = mc_vmem_bytes(code.qc, emit_llr=True)
+    assert with_llr == base + 4 * 128 * code.n
+    assert mc_kernel_fits(code.qc, emit_llr=True)
+
+
+def _two_phase_vs_single(code, snr_db, *, iters=8, phase1=4, B=128,
+                         schedule="flooding", variant="spa",
+                         track_norm=True, mode=1):
+    """Run the exact runner composition at the ops layer and compare."""
+    spec = code.standard_encode_spec
+    info_pos = spec.info_pos("orig")
+    key = jax.random.key(11)
+    u = random_info_bits(key, B, code.k)
+    wT = make_encoder_T(spec, "orig")(u)
+    raw = jax.random.bits(jax.random.fold_in(key, 1),
+                          (DRAWS_PER_BIT[mode], code.n, B), jnp.uint32)
+    params = ChannelParams(mode=mode, modulation=1, snr_db=snr_db,
+                           speed=0.5, interference_snr_db=6.0, p=0.1,
+                           noise_model="exact")
+    cv = consts_vector(params.consts())
+    seeds = jnp.zeros(2, jnp.int32)
+    kw = dict(mode=mode, schedule=schedule, noise_source="input",
+              interpret=True, track_norm=track_norm)
+
+    # single-pass truth
+    mc_full = make_mc_decoder(code.qc, info_pos, iters, variant, **kw)
+    err0, ok0, conv0, norm0, _ = jax.jit(mc_full)(wT, cv, seeds, raw)
+
+    # two-phase: the runner's mc_base composition, verbatim semantics
+    mc1 = make_mc_decoder(code.qc, info_pos, phase1, variant,
+                          emit_llr=True, **kw)
+    llr_dec = make_llr_decoder(
+        code.qc, info_pos, iters, variant, schedule=schedule,
+        interpret=True, track_norm=track_norm,
+    )
+
+    def two_phase(wT, cv, seeds, raw):
+        err1, ok1, conv1, norm1, it1, llrT = mc1(wT, cv, seeds, raw)
+        order = jnp.argsort(ok1.astype(jnp.int32))
+        err2, ok2, conv2, norm2, it2 = llr_dec(
+            jnp.take(llrT, order, axis=1), jnp.take(wT, order, axis=1),
+            ok1[order].astype(jnp.float32),
+        )
+
+        def unsort(x):
+            return jnp.zeros_like(x).at[order].set(x)
+
+        return (
+            jnp.where(ok1, err1, unsort(err2)),
+            ok1 | unsort(ok2),
+            jnp.where(ok1, conv1, unsort(conv2)),
+            jnp.where(ok1, norm1, unsort(norm2)),
+        )
+
+    err, ok, conv, norm = jax.jit(two_phase)(wT, cv, seeds, raw)
+    p1_ok = np.asarray(jax.jit(mc1)(wT, cv, seeds, raw)[1])
+
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok0))
+    np.testing.assert_array_equal(np.asarray(err), np.asarray(err0))
+    np.testing.assert_array_equal(np.asarray(conv), np.asarray(conv0))
+    np.testing.assert_array_equal(np.asarray(norm), np.asarray(norm0))
+    return np.asarray(ok0), p1_ok
+
+
+@slow
+def test_two_phase_bit_identical_flooding():
+    code = LDPCCode(alist=ccsds(128), name="ccsds_128")
+    ok, p1_ok = _two_phase_vs_single(code, snr_db=4.0)
+    # the operating point must exercise BOTH phases: some frames converge in
+    # phase 1, some only in phase 2, some never
+    assert 0 < p1_ok.sum() and p1_ok.sum() < ok.sum()
+
+
+@slow
+def test_two_phase_bit_identical_layered_minsum():
+    code = LDPCCode(alist=ccsds(128), name="ccsds_128")
+    ok, p1_ok = _two_phase_vs_single(
+        code, snr_db=4.0, schedule="layered", variant="normalized_minsum",
+        iters=6, phase1=3, track_norm=False,
+    )
+    assert 0 < p1_ok.sum() < ok.sum()
+
+
+@slow
+def test_two_phase_runner_counters_match():
+    """End-to-end through PointExecutor: two-phase on vs off, same seed,
+    identical counters (the composition is exercised exactly as production
+    dispatch runs it, including skip-mask plumbing)."""
+    from ldpc_tpu.sim.config import SimOptions
+    from ldpc_tpu.sim.runner import PointExecutor
+
+    code = LDPCCode(alist=ccsds(128), name="ccsds_128")
+    base = dict(
+        matrix="ccsds_128", blocks=256, iterations=8, ber=True, fer=True,
+        fidelity="exact", batch=128, seed=3, fused="on",
+    )
+    stats = {}
+    for tp in ("off", "4"):
+        ex = PointExecutor(code, SimOptions(two_phase=tp, **base))
+        s = ex.run_point(4.0, 256, jax.random.key(3), 0)
+        stats[tp] = s
+        if tp == "4":
+            assert "+2phase(4)" in ex.kernel_used
+    a, b = stats["off"], stats["4"]
+    assert a.fer_frames == b.fer_frames
+    assert a.error_bits == b.error_bits
+    assert a.conv_iters_sum == b.conv_iters_sum
+    assert a.conv_count == b.conv_count
+    assert a.norm_llr_sum == b.norm_llr_sum
