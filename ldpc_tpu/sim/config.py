@@ -98,11 +98,17 @@ class SimOptions:
     # budget and emits its in-kernel LLRs; the ~FER(phase1) unconverged
     # frames are compacted to the front lanes and re-decoded from exactly
     # those LLR bits with the full budget (bit-identical per frame -- decode
-    # is lane-wise-deterministic, tests/test_two_phase.py). At a waterfall
-    # point this cuts mean tile trips from ~max_iterations to
-    # ~phase1 + FER(phase1)*max_iterations. 'auto': phase1 = max_iterations
-    # // 2 when the fused kernel runs with >= 8 iterations; 'off'; or an
-    # explicit phase-1 iteration count (0 < N < max_iterations).
+    # is lane-wise-deterministic, tests/test_two_phase.py + the on-hardware
+    # check parity_runs/tpu_two_phase.json). At a waterfall point this cuts
+    # mean tile trips from ~max_iterations to
+    # ~phase1 + FER(phase1)*max_iterations; at FER~1 every frame re-decodes
+    # and it is strictly slower. 'auto' therefore is OPERATING-POINT-AWARE:
+    # with >= 8 iterations it probes each SNR point with one single-pass
+    # batch and enables the phase1 = max_iterations // 2 split only where
+    # the probe's convergence profile predicts a win
+    # (runner.PointExecutor._decide_two_phase; measured envelope in
+    # examples/two_phase_envelope). 'off' disables; an explicit phase-1
+    # iteration count (0 < N < max_iterations) forces the split everywhere.
     two_phase: str = "auto"
     schedule: str = "flooding"  # 'flooding' (reference schedule) | 'layered' (QC serial-C)
     # extrinsic (check->var message) storage in the Pallas kernels:

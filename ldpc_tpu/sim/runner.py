@@ -65,9 +65,12 @@ def resolve_two_phase(two_phase: str | int, max_iterations: int) -> int:
 
     'auto' splits the budget in half once there is enough of one to split
     (>= 8 iterations: below that phase 1 converges too little for the
-    compaction to pay for the extra dispatch); 'off' disables; an explicit
-    N must satisfy 0 < N < max_iterations. Results are bit-identical either
-    way (tests/test_two_phase.py), so this is purely a dispatch knob."""
+    compaction to pay for the extra dispatch) -- the executor then gates the
+    split per SNR point with a probe batch (PointExecutor._decide_two_phase:
+    at FER~1 the split is strictly slower). 'off' disables; an explicit
+    N must satisfy 0 < N < max_iterations and forces the split everywhere.
+    Results are bit-identical either way (tests/test_two_phase.py,
+    parity_runs/tpu_two_phase.json), so this is purely a dispatch knob."""
     if two_phase in ("off", "0", 0):
         return 0
     if two_phase == "auto":
@@ -84,6 +87,52 @@ def resolve_two_phase(two_phase: str | int, max_iterations: int) -> int:
             f"{max_iterations}): {n}"
         )
     return n
+
+
+def two_phase_trip_model(
+    conv: np.ndarray, ok: np.ndarray, phase1: int, max_iterations: int,
+    lanes: int = 128,
+) -> dict:
+    """Predicted mean loop trips per 128-lane tile for both dispatch modes,
+    from one batch's per-frame convergence iterations.
+
+    The kernel's unit of work is the tile: it iterates until ALL its lanes
+    pass the syndrome, so a lane's trip count is conv_iter+1 if it converged
+    else max_iterations, and a tile's is the max over its lanes.
+
+    * ``single``: mean tile trips of a single-pass dispatch.
+    * ``phase1_mean``: mean tile trips of phase 1 (the same tiles capped at
+      the phase-1 budget).
+    * ``phase2_per_tile``: re-decode trips amortized over ALL tiles -- the
+      unconverged-in-phase-1 lanes grouped 128 at a time in original order
+      (exactly what the stable argsort compaction produces), each group
+      running to its own max lane trips.
+    * ``refeed_frac``: fraction of lanes phase 1 leaves unconverged.
+
+    Two-phase dispatch wins when ``phase1_mean + phase2_per_tile +
+    overhead < single`` (see PointExecutor._decide_two_phase).
+    """
+    trips = np.where(ok, conv.astype(np.int64) + 1, max_iterations)
+    if trips.size >= lanes:
+        tiles = trips[: (trips.size // lanes) * lanes].reshape(-1, lanes)
+    else:
+        tiles = trips.reshape(1, -1)
+    ntiles = tiles.shape[0]
+    t_single = tiles.max(axis=1)
+    refeed = trips[trips > phase1]
+    phase2_sum, n_groups = 0.0, 0
+    for g in range(0, refeed.size, lanes):
+        phase2_sum += float(refeed[g:g + lanes].max())
+        n_groups += 1
+    return {
+        "single": float(t_single.mean()),
+        "phase1_mean": float(np.minimum(t_single, phase1).mean()),
+        "phase2_per_tile": phase2_sum / ntiles,
+        "refeed_frac": refeed.size / max(trips.size, 1),
+        # fraction of tiles phase 2 actually iterates (its loop init and
+        # counter tails run only there) -- the roofline census needs it
+        "refeed_tile_frac": n_groups / ntiles,
+    }
 
 
 def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
@@ -338,6 +387,24 @@ class PointExecutor:
             and (mesh is None or (bool(batch_axes) and not step_vmapped))
         )
         phase1 = resolve_two_phase(opts.two_phase, self.max_iterations)
+        if phase1 and opts.normalized_llr:
+            # two-phase requires checkpoint-exact counters across dispatch
+            # modes. Integer counters (error_bits, fer_frames, conv) are
+            # bit-exact on hardware, but norm_llr_sum is a device-side f32
+            # accumulation whose rounding depends on the compiled program --
+            # measured at ~1e-7 relative divergence on TPU
+            # (parity_runs/tpu_two_phase.json). So the split is refused when
+            # the normalized-LLR metric is tracked.
+            if opts.two_phase != "auto":
+                raise ValueError(
+                    f"--two-phase {opts.two_phase} cannot be combined with "
+                    "--normalized-llr: the norm-LLR sum is a float "
+                    "accumulator that is not bit-stable across dispatch "
+                    "modes (measured on TPU, parity_runs/tpu_two_phase."
+                    "json); use --two-phase off"
+                )
+            phase1 = 0
+        phase1_downgraded = False
         if fused_eligible:
             from ldpc_tpu.ops.mc_pallas import mc_kernel_fits
 
@@ -352,6 +419,7 @@ class PointExecutor:
             ):
                 # the LLR-emit block alone overflows VMEM: run single-phase
                 phase1 = 0
+                phase1_downgraded = True
                 fused_eligible = True
         if opts.fused == "on" and not fused_eligible:
             raise ValueError(
@@ -365,6 +433,15 @@ class PointExecutor:
         use_fused = opts.fused == "on" or (
             opts.fused == "auto" and fused_eligible and on_tpu
         )
+        if use_fused and phase1_downgraded and opts.two_phase != "auto":
+            # an explicitly requested phase split cannot be honored: say so
+            # loudly (mirrors the fused='on' error path) instead of silently
+            # running single-phase; 'auto' keeps the silent fallback
+            raise ValueError(
+                f"--two-phase {opts.two_phase}: the phase-1 LLR-emit output "
+                f"block does not fit the VMEM plan for {code.name} "
+                "(ops.mc_pallas.mc_vmem_bytes); use --two-phase auto/off"
+            )
 
         if mesh is not None and batch_axes:
             sharding = jax.sharding.NamedSharding(
@@ -400,14 +477,29 @@ class PointExecutor:
                 k: v for k, v in kernel_kw.items()
                 if k not in ("mode", "modulation", "noise_source")
             }
-            mc = make_mc_decoder(
-                code.qc, info_pos,
-                phase1 or self.max_iterations,
-                opts.decoder_variant,
-                emit_llr=bool(phase1),
-                **kernel_kw,
-            )
-            if phase1:
+            draws = DRAWS_PER_BIT[opts.mode]
+            n = code.n
+
+            def build_mc_base(p1: int):
+                """Per-batch decode composition at phase-1 split ``p1``
+                (0 = single-pass). Counters are bit-identical across p1
+                (tests/test_two_phase.py, parity_runs/tpu_two_phase.json),
+                so the split is purely a dispatch-cost knob."""
+                mc = make_mc_decoder(
+                    code.qc, info_pos,
+                    p1 or self.max_iterations,
+                    opts.decoder_variant,
+                    emit_llr=bool(p1),
+                    **kernel_kw,
+                )
+                if not p1:
+                    def mc_base(wT, cv, seeds, raw=None, skip=None):
+                        if raw is None:
+                            return mc(wT, cv, seeds, skip=skip)
+                        return mc(wT, cv, seeds, raw, skip=skip)
+
+                    return mc_base
+
                 # phase 2: full-budget re-decode of the frames phase 1 left
                 # unconverged, from the exact in-kernel LLR bits -- lane-wise
                 # determinism makes the composition bit-identical to a
@@ -438,135 +530,155 @@ class PointExecutor:
                     conv = jnp.where(ok1, conv1, unsort(conv2))
                     norm = jnp.where(ok1, norm1, unsort(norm2))
                     ok = ok1 | unsort(ok2)
-                    iters = jnp.maximum(it1, unsort(it2))
+                    # decode work per frame: phase trips ADD (a re-decoded
+                    # frame's tile executed it1 + it2 loop trips). Boundary
+                    # tiles mix converged and re-decoded lanes, so a
+                    # phase-1-converged frame can inherit its phase-2 tile's
+                    # trips -- a <=1-tile overcount; the max/sum consumers
+                    # (fused_step, total_iters_run) want the pessimistic one.
+                    iters = it1 + unsort(it2)
                     return err, ok, conv, norm, iters
-            else:
-                def mc_base(wT, cv, seeds, raw=None, skip=None):
-                    if raw is None:
-                        return mc(wT, cv, seeds, skip=skip)
-                    return mc(wT, cv, seeds, raw, skip=skip)
 
-            draws = DRAWS_PER_BIT[opts.mode]
-            n = code.n
+                return mc_base
 
-            mc_call = mc_base
-            if mesh is not None and batch_axes:
-                # pallas_call is opaque to XLA's SPMD partitioner, so the
-                # mesh path runs the kernel under shard_map: every device
-                # decodes its own batch shard with a local kernel instance
-                # and counters psum afterwards (XLA inserts the collectives
-                # from the sharded [B] outputs). 'hw' noise folds the
-                # linearized shard index into the seed so shards draw
-                # independent streams; 'input' noise consumes the shard's
-                # slice of the global draw tensor, so meshed and unmeshed
-                # fused runs are bit-identical (tests/test_sharding.py).
-                PS = jax.sharding.PartitionSpec
-                axis_sizes = [int(mesh.shape[a]) for a in batch_axes]
+            def build_fused(p1: int):
+                """(step, chunk) jitted dispatch pair at phase-1 split ``p1``
+                (jit is lazy: an unused pair costs nothing until called)."""
+                mc_base = build_mc_base(p1)
+                mc_call = mc_base
+                if mesh is not None and batch_axes:
+                    # pallas_call is opaque to XLA's SPMD partitioner, so the
+                    # mesh path runs the kernel under shard_map: every device
+                    # decodes its own batch shard with a local kernel instance
+                    # and counters psum afterwards (XLA inserts the collectives
+                    # from the sharded [B] outputs). 'hw' noise folds the
+                    # linearized shard index into the seed so shards draw
+                    # independent streams; 'input' noise consumes the shard's
+                    # slice of the global draw tensor, so meshed and unmeshed
+                    # fused runs are bit-identical (tests/test_sharding.py).
+                    PS = jax.sharding.PartitionSpec
+                    axis_sizes = [int(mesh.shape[a]) for a in batch_axes]
 
-                def _shard_seeds(seeds):
-                    idx = jnp.int32(0)
-                    for a, s in zip(batch_axes, axis_sizes):
-                        idx = idx * s + jax.lax.axis_index(a)
-                    # Weyl-mix into the SECOND seed word (the kernel mixes
-                    # the tile index into the first); int32 wrap intended
-                    return seeds.at[1].add(idx * jnp.int32(-1640531527))
+                    def _shard_seeds(seeds):
+                        idx = jnp.int32(0)
+                        for a, s in zip(batch_axes, axis_sizes):
+                            idx = idx * s + jax.lax.axis_index(a)
+                        # Weyl-mix into the SECOND seed word (the kernel mixes
+                        # the tile index into the first); int32 wrap intended
+                        return seeds.at[1].add(idx * jnp.int32(-1640531527))
 
-                def _local(wT, cv, seeds, raw, skip):
-                    # two-phase compaction (mc_base) stays INSIDE the shard:
-                    # each device sorts and re-decodes its own batch shard
+                    def _local(wT, cv, seeds, raw, skip):
+                        # two-phase compaction (mc_base) stays INSIDE the
+                        # shard: each device sorts and re-decodes its own
+                        # batch shard
+                        if noise_source == "hw":
+                            seeds = _shard_seeds(seeds)
+                            return mc_base(wT, cv, seeds, skip=skip)
+                        return mc_base(wT, cv, seeds, raw, skip=skip)
+
+                    raw_spec = (
+                        PS() if noise_source == "hw"
+                        else PS(None, None, batch_axes)
+                    )
+                    sharded_mc = jax.shard_map(
+                        _local,
+                        mesh=mesh,
+                        in_specs=(PS(None, batch_axes), PS(), PS(), raw_spec,
+                                  PS()),
+                        out_specs=(PS(batch_axes),) * 5,
+                        # outputs vary only over the batch axes (shards along
+                        # any other mesh axis see identical inputs and seeds);
+                        # the kernel is opaque to the varying-axes checker
+                        check_vma=False,
+                    )
+
+                    def mc_call(wT, cv, seeds, raw=None, skip=None):
+                        if raw is None:
+                            raw = jnp.zeros((), jnp.uint32)  # unused ('hw')
+                        if skip is None:
+                            skip = jnp.zeros((), jnp.int32)
+                        return sharded_mc(wT, cv, seeds, raw, skip)
+
+                def fused_step(key: jax.Array, consts: ChannelConsts,
+                               skip: jax.Array | None = None):
+                    k_u, k_noise = jax.random.split(key)
+                    u = random_info_bits(k_u, batch, k)
+                    if sharding is not None:
+                        u = jax.lax.with_sharding_constraint(u, sharding)
+                    wT = encode_T(u)
+                    cv = consts_vector(consts)
                     if noise_source == "hw":
-                        seeds = _shard_seeds(seeds)
-                        return mc_base(wT, cv, seeds, skip=skip)
-                    return mc_base(wT, cv, seeds, raw, skip=skip)
-
-                raw_spec = (
-                    PS() if noise_source == "hw"
-                    else PS(None, None, batch_axes)
-                )
-                sharded_mc = jax.shard_map(
-                    _local,
-                    mesh=mesh,
-                    in_specs=(PS(None, batch_axes), PS(), PS(), raw_spec,
-                              PS()),
-                    out_specs=(PS(batch_axes),) * 5,
-                    # outputs vary only over the batch axes (shards along
-                    # any other mesh axis see identical inputs and seeds);
-                    # the kernel is opaque to the varying-axes checker
-                    check_vma=False,
-                )
-
-                def mc_call(wT, cv, seeds, raw=None, skip=None):
-                    if raw is None:
-                        raw = jnp.zeros((), jnp.uint32)  # unused ('hw')
-                    if skip is None:
-                        skip = jnp.zeros((), jnp.int32)
-                    return sharded_mc(wT, cv, seeds, raw, skip)
-
-            def fused_step(key: jax.Array, consts: ChannelConsts,
-                           skip: jax.Array | None = None):
-                k_u, k_noise = jax.random.split(key)
-                u = random_info_bits(k_u, batch, k)
-                if sharding is not None:
-                    u = jax.lax.with_sharding_constraint(u, sharding)
-                wT = encode_T(u)
-                cv = consts_vector(consts)
-                if noise_source == "hw":
-                    seeds = jax.lax.bitcast_convert_type(
-                        jax.random.bits(k_noise, (2,), jnp.uint32), jnp.int32
+                        seeds = jax.lax.bitcast_convert_type(
+                            jax.random.bits(k_noise, (2,), jnp.uint32),
+                            jnp.int32,
+                        )
+                        err, ok, conv, norm, it_l = mc_call(wT, cv, seeds,
+                                                            skip=skip)
+                    else:
+                        seeds = jnp.zeros((2,), jnp.int32)
+                        raw = jax.random.bits(
+                            k_noise, (draws, n, batch), jnp.uint32
+                        )
+                        err, ok, conv, norm, it_l = mc_call(wT, cv, seeds,
+                                                            raw, skip=skip)
+                    if not exact_ber:
+                        # reference: bits counted only when decode failed
+                        # (main.py:134); in-kernel err counts every frame
+                        err = jnp.where(ok, 0, err)
+                    stats = BlockStats(
+                        error_bits=err, ok=ok, conv_iter=conv, norm_llr=norm
                     )
-                    err, ok, conv, norm, it_l = mc_call(wT, cv, seeds,
-                                                        skip=skip)
-                else:
-                    seeds = jnp.zeros((2,), jnp.int32)
-                    raw = jax.random.bits(
-                        k_noise, (draws, n, batch), jnp.uint32
-                    )
-                    err, ok, conv, norm, it_l = mc_call(wT, cv, seeds, raw,
-                                                        skip=skip)
-                if not exact_ber:
-                    # reference: bits counted only when decode failed
-                    # (main.py:134); in-kernel err counts every frame
-                    err = jnp.where(ok, 0, err)
-                stats = BlockStats(
-                    error_bits=err, ok=ok, conv_iter=conv, norm_llr=norm
-                )
-                return stats, jnp.max(it_l)
+                    return stats, jnp.max(it_l)
 
-            self._step = jax.jit(fused_step)
+                # Chunked dispatch: scan CHUNK_STEPS Monte-Carlo steps inside
+                # ONE jitted program, reducing counters on device -- per-
+                # dispatch host latency (the remote-TPU-tunnel floor)
+                # amortizes over the chunk. Safe here because the fused
+                # kernel is opaque to XLA: the pathological
+                # while-loop+reduction compile blowup (see the NOTE in
+                # make_step) does not apply to pallas_call outputs.
+                def fused_chunk(key_point: jax.Array, start_idx: jax.Array,
+                                consts: ChannelConsts, n_steps: int):
+                    # keys derived IN-JIT: a host-side fold_in per chunk
+                    # would cost one tunnel round-trip each (the very
+                    # latency the chunking amortizes)
+                    keys = jax.vmap(
+                        lambda j: jax.random.fold_in(key_point, j)
+                    )(start_idx + jnp.arange(n_steps))
 
-            # Chunked dispatch: scan CHUNK_STEPS Monte-Carlo steps inside ONE
-            # jitted program, reducing counters on device -- per-dispatch host
-            # latency (the remote-TPU-tunnel floor) amortizes over the chunk.
-            # Safe here because the fused kernel is opaque to XLA: the
-            # pathological while-loop+reduction compile blowup (see the NOTE
-            # in make_step) does not apply to pallas_call outputs.
-            def fused_chunk(key_point: jax.Array, start_idx: jax.Array,
-                            consts: ChannelConsts, n_steps: int):
-                # keys derived IN-JIT: a host-side fold_in per chunk would
-                # cost one tunnel round-trip each (the very latency the
-                # chunking amortizes)
-                keys = jax.vmap(
-                    lambda j: jax.random.fold_in(key_point, j)
-                )(start_idx + jnp.arange(n_steps))
+                    def body(tot, key):
+                        stats, it = fused_step(key, consts)
+                        c = reduce_block_stats(
+                            stats, jnp.ones((batch,), bool)
+                        )
+                        return tot + c, it
 
-                def body(tot, key):
-                    stats, it = fused_step(key, consts)
-                    c = reduce_block_stats(
-                        stats, jnp.ones((batch,), bool)
-                    )
-                    return tot + c, it
+                    tot, its = jax.lax.scan(body, BlockCounters.zeros(), keys)
+                    # one int32[8] output -> ONE host fetch per dispatch
+                    # group (leaf-by-leaf fetches cost a round trip each)
+                    return pack_counters(tot, jnp.sum(its))
 
-                tot, its = jax.lax.scan(body, BlockCounters.zeros(), keys)
-                # one int32[8] output -> ONE host fetch per dispatch group
-                # (leaf-by-leaf fetches cost a tunnel round trip each)
-                return pack_counters(tot, jnp.sum(its))
+                return (jax.jit(fused_step),
+                        jax.jit(fused_chunk, static_argnums=3))
 
-            self._chunk = jax.jit(fused_chunk, static_argnums=3)
-            self.kernel_used = "pallas+fused" + (
+            self._kernel_base = "pallas+fused" + (
                 "+layered" if schedule == "layered" else ""
-            ) + (f"+2phase({phase1})" if phase1 else "") + (
-                "+mesh" if mesh is not None and batch_axes else ""
-            )
+            ) + ("+mesh" if mesh is not None and batch_axes else "")
+            if phase1 and opts.two_phase == "auto":
+                # operating-point-aware dispatch: build BOTH pairs; each SNR
+                # point is probed with one single-pass batch and the cheaper
+                # mode (predicted from the probe's per-frame convergence
+                # iterations -- see _decide_two_phase) runs the rest
+                self._step, self._chunk = build_fused(0)
+                self._step2, self._chunk2 = build_fused(phase1)
+                self._phase1_auto = phase1
+                self._two_phase_choice: dict[float, bool] = {}
+                self.kernel_used = self._kernel_base + "+2phase(auto)"
+            else:
+                self._step, self._chunk = build_fused(phase1)
+                self.kernel_used = self._kernel_base + (
+                    f"+2phase({phase1})" if phase1 else ""
+                )
         else:
             self._build_unfused(
                 code, opts, layout, info_pos, spec, il_kind, sharding,
@@ -642,6 +754,32 @@ class PointExecutor:
         # residual-pattern step for failure analysis, compiled only if used
         self._pattern_step_builder = lambda: jax.jit(make_step(decode, True))
 
+    # Two-phase dispatch overhead in per-tile loop-trip equivalents: the
+    # [n, B] LLR emit + argsort + two [n, B] gathers + the second kernel
+    # launch, expressed in units of one decode iteration of one tile.
+    # Calibrated on the flagship envelope (examples/two_phase_envelope):
+    # measured batch-time deltas at 5 operating points bracket the constant
+    # at 1.3-2.1 trips; 2.0 is the conservative choice (prefers single-pass
+    # on the margin, so 'auto' never loses more than the probe's own noise).
+    TWO_PHASE_OVERHEAD_TRIPS = 2.0
+
+    def _decide_two_phase(self, conv: np.ndarray, ok: np.ndarray) -> bool:
+        """Predict whether two-phase dispatch beats single-pass at this
+        operating point, from ONE probe batch's per-frame convergence
+        iterations (single-pass and two-phase counters are bit-identical,
+        so the probe batch itself is consumed as production output).
+
+        Cost model (:func:`two_phase_trip_model`), in mean loop trips per
+        128-lane tile: two-phase wins when phase1_mean + phase2_per_tile +
+        TWO_PHASE_OVERHEAD_TRIPS < single.
+        """
+        m = two_phase_trip_model(
+            conv, ok, self._phase1_auto, self.max_iterations
+        )
+        mean_two = (m["phase1_mean"] + m["phase2_per_tile"]
+                    + self.TWO_PHASE_OVERHEAD_TRIPS)
+        return mean_two < m["single"]
+
     def run_point(
         self, snr_db: float, blocks: int, base_key: jax.Array, point_index: int
     ) -> PointStats:
@@ -671,6 +809,34 @@ class PointExecutor:
         # (key folding matches the single-step stream, so chunked and
         # unchunked runs produce identical counters)
         chunk_fn = getattr(self, "_chunk", None)
+        step = self._step
+        p1_auto = getattr(self, "_phase1_auto", 0)
+        if p1_auto and remaining > 0:
+            use2 = self._two_phase_choice.get(snr_db)
+            if use2 is None:
+                # probe this operating point with ONE single-pass batch
+                # (consumed as production output -- counters are identical
+                # across dispatch modes), then pick the cheaper mode for
+                # the rest of the point from its per-frame convergence
+                take = min(remaining, self.batch)
+                key = jax.random.fold_in(key_point, batch_idx)
+                block, iters_run = step(key, consts)
+                conv = np.asarray(block.conv_iter)[:take]
+                okv = np.asarray(block.ok)[:take]
+                counters, iters = unpack_counters(
+                    self._reduce_packed(block, jnp.int32(take), iters_run)
+                )
+                stats.add(counters)
+                self.total_iters_run += iters
+                remaining -= take
+                batch_idx += 1
+                use2 = self._decide_two_phase(conv, okv)
+                self._two_phase_choice[snr_db] = use2
+            self.kernel_used = self._kernel_base + (
+                f"+2phase(auto:{p1_auto})" if use2 else "+2phase(auto:off)"
+            )
+            if use2:
+                chunk_fn, step = self._chunk2, self._step2
         # One dispatch covers up to MAX_CHUNK Monte-Carlo batches (an
         # in-program lax.scan): per-dispatch host/tunnel latency amortizes
         # over the whole group. With --target-errors the quota check needs a
@@ -704,7 +870,6 @@ class PointExecutor:
             self.total_iters_run += iters
         if target_errors and stats.fer_frames >= target_errors:
             remaining = 0
-        step = self._step
         while remaining > 0:
             take = min(remaining, self.batch)
             key = jax.random.fold_in(key_point, batch_idx)
@@ -842,8 +1007,12 @@ def sweep_fingerprint(config: SimulationConfig) -> tuple:
         # so a different batch size is a DIFFERENT sweep, not a resumable one
         config.batch,
         # two_phase is deliberately ABSENT: it is a dispatch knob with
-        # bit-identical counters (tests/test_two_phase.py), so checkpoints
-        # resume across it
+        # bit-identical counters -- proven in interpret mode
+        # (tests/test_two_phase.py) AND on hardware across separately
+        # compiled kernels (parity_runs/tpu_two_phase.json). The one
+        # non-bit-stable statistic, the f32 norm_llr_sum accumulator, is
+        # excluded by construction: the executor refuses the split when
+        # --normalized-llr is tracked.
     )
 
 

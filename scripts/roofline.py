@@ -25,14 +25,21 @@ import jax
 import numpy as np
 
 
-def mean_tile_iters(code, opts, snr_db: float, *, batches: int = 8) -> float:
-    """Mean decode-loop trip count per 128-lane tile at the operating point,
-    read from the fused kernel's per-tile ``iters`` output."""
+def probe_point(code, opts, snr_db: float, *, batches: int = 8):
+    """Measured per-tile trip statistics at the operating point.
+
+    Runs the single-pass fused kernel at the full budget and returns
+    ``(mean_tile_iters, trip_model)``: the former read directly from the
+    kernel's per-tile ``iters`` output; the latter derived from per-frame
+    convergence iterations (sim.runner.two_phase_trip_model -- an exact
+    reconstruction of both dispatch modes' tile trip counts, so its
+    'single' entry cross-checks the kernel readback)."""
     import jax.numpy as jnp
 
     from ldpc_tpu.ops.channel import ChannelParams
     from ldpc_tpu.ops.encode import make_encoder_T, random_info_bits
     from ldpc_tpu.ops.mc_pallas import consts_vector, make_mc_decoder
+    from ldpc_tpu.sim.runner import resolve_two_phase, two_phase_trip_model
 
     opts = opts.resolved()
     qc = code.qc
@@ -61,12 +68,22 @@ def mean_tile_iters(code, opts, snr_db: float, *, batches: int = 8) -> float:
             jax.random.bits(jax.random.fold_in(key, 1), (2,), jnp.uint32),
             jnp.int32,
         )
-        _, _, _, _, iters = mc_step(wT, cvec, seeds)
+        _, ok, conv, _, iters = mc_step(wT, cvec, seeds)
         # iters is per-codeword but constant within each 128-lane tile
-        return jnp.mean(iters[::128].astype(jnp.float32))
+        return jnp.mean(iters[::128].astype(jnp.float32)), conv, ok
 
-    vals = [float(run(jax.random.key(100 + i))) for i in range(batches)]
-    return float(np.mean(vals))
+    phase1 = resolve_two_phase(opts.two_phase, opts.iterations) or \
+        opts.iterations // 2
+    tile_iters, models = [], []
+    for i in range(batches):
+        t, conv, ok = run(jax.random.key(100 + i))
+        tile_iters.append(float(t))
+        # model per batch (compaction groups lanes within one batch)
+        models.append(two_phase_trip_model(
+            np.asarray(conv), np.asarray(ok), phase1, opts.iterations
+        ))
+    model = {k: float(np.mean([m[k] for m in models])) for k in models[0]}
+    return float(np.mean(tile_iters)), model
 
 
 def main() -> int:
@@ -84,15 +101,18 @@ def main() -> int:
 
     enable_compile_cache()
 
+    import re
+
     from bench import measure_point
     from ldpc_tpu.analysis.roofline import (
         CLASSES,
         measure_vpu_rates,
         speed_of_light,
+        speed_of_light_two_phase,
         vpu_peak_ops_per_s,
     )
     from ldpc_tpu.sim.config import SimOptions
-    from ldpc_tpu.sim.runner import PointExecutor, load_code
+    from ldpc_tpu.sim.runner import PointExecutor, load_code, resolve_two_phase
 
     code = load_code(args.code)
     opts = SimOptions(
@@ -110,17 +130,24 @@ def main() -> int:
     for c in CLASSES:
         print(f"#   {c:7s} {rates[c] / 1e9:8.2f} G elem-ops/s", flush=True)
 
-    print("# measuring mean per-tile decode iterations...", flush=True)
-    tile_iters = mean_tile_iters(code, opts, args.snr)
-    print(f"#   mean tile iters = {tile_iters:.3f} (max {args.iterations})",
-          flush=True)
+    print("# measuring per-tile trip statistics...", flush=True)
+    tile_iters, trip_model = probe_point(code, opts, args.snr)
+    print(f"#   mean tile iters = {tile_iters:.3f} (max {args.iterations}; "
+          f"trip-model cross-check {trip_model['single']:.3f})", flush=True)
+    print(f"#   trip model: {trip_model}", flush=True)
 
     peak = vpu_peak_ops_per_s(dev)
-    sol = speed_of_light(
-        code.qc, rates, k=code.k, variant=opts.decoder_variant,
-        schedule=args.schedule, mode=opts.mode,
-        track_norm=opts.normalized_llr, mean_tile_iters=tile_iters,
-        peak_ops_per_s=peak,
+    sol_kw = dict(
+        k=code.k, variant=opts.decoder_variant, schedule=args.schedule,
+        mode=opts.mode, track_norm=opts.normalized_llr, peak_ops_per_s=peak,
+    )
+    sol1 = speed_of_light(
+        code.qc, rates, mean_tile_iters=tile_iters, **sol_kw
+    )
+    phase1 = resolve_two_phase(opts.two_phase, opts.iterations)
+    sol2 = speed_of_light_two_phase(
+        code.qc, rates, phase1=phase1 or opts.iterations // 2,
+        trip_model=trip_model, **sol_kw,
     )
 
     print("# measuring achieved throughput (bench methodology)...", flush=True)
@@ -129,6 +156,13 @@ def main() -> int:
         executor, code, args.snr, batch=args.batch,
         n_batches=args.bench_batches, n_windows=3,
     )
+    # the ceiling must price the dispatch mode the executor ACTUALLY ran
+    # (under two_phase='auto' the per-point probe decides; kernel_used
+    # records it -- '+2phase(auto:N)' = split ran, '(auto:off)' = declined)
+    used_two_phase = bool(
+        re.search(r"\+2phase\((?:auto:)?\d+\)", executor.kernel_used)
+    )
+    sol = sol2 if used_two_phase else sol1
     frac = bits_per_s / sol["ceiling_info_bits_per_s"]
     sustained_ops = bits_per_s / code.k * sol["frame_ops"]
 
@@ -139,12 +173,13 @@ def main() -> int:
         "schedule": args.schedule,
         "iterations": args.iterations,
         "kernel": executor.kernel_used,
+        "two_phase_ceiling": used_two_phase,
         "vpu_peak_ops_per_s": peak,
         "vpu_measured_floor_gops": {c: rates[c] / 1e9 for c in CLASSES},
         "mean_tile_iters": tile_iters,
+        "trip_model": trip_model,
         "fer": fer,
         "per_iter_ops": sol["per_iter_ops"],
-        "fixed_ops": sol["fixed_ops"],
         "frame_ops": sol["frame_ops"],
         "t_frame_us": sol["t_frame_s"] * 1e6,
         "ceiling_info_bits_per_s": sol["ceiling_info_bits_per_s"],
@@ -152,22 +187,32 @@ def main() -> int:
         "achieved_info_bits_per_s": bits_per_s,
         "sustained_vpu_ops_per_s": sustained_ops,
         "fraction_of_ceiling": frac,
+        # both bounds, for the record (the headline uses the matching one)
+        "single_pass_ceiling_info_bits_per_s": sol1["ceiling_info_bits_per_s"],
+        "two_phase_ceiling_info_bits_per_s": sol2["ceiling_info_bits_per_s"],
+        "two_phase_t_mem_us": sol2["t_mem_s"] * 1e6,
+        "two_phase_t_compute_us": sol2["t_compute_s"] * 1e6,
     }
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     (out / "roofline.json").write_text(json.dumps(report, indent=1))
 
     per_iter_tot = sum(sol["per_iter_ops"].values())
-    fixed_tot = sum(sol["fixed_ops"].values())
     print(
-        f"\nceiling: {sol['ceiling_info_bits_per_s'] / 1e9:.3f} G info bits/s"
-        f"  ({per_iter_tot:,.0f} elem-ops/iter x {tile_iters:.2f} iters"
-        f" + {fixed_tot:,.0f} fixed at the {peak / 1e12:.2f} T op/s VPU "
-        "issue peak)\n"
+        f"\nkernel: {executor.kernel_used}\n"
+        f"single-pass ceiling: {sol1['ceiling_info_bits_per_s'] / 1e9:.3f} G "
+        f"info bits/s ({per_iter_tot:,.0f} elem-ops/iter x {tile_iters:.2f} "
+        f"iters at the {peak / 1e12:.2f} T op/s VPU issue peak)\n"
+        f"two-phase ceiling:   {sol2['ceiling_info_bits_per_s'] / 1e9:.3f} G "
+        f"(phase trips {trip_model['phase1_mean']:.2f} + "
+        f"{trip_model['phase2_per_tile']:.2f}; "
+        f"t_mem {sol2['t_mem_s'] * 1e9:.0f} ns vs t_compute "
+        f"{sol2['t_compute_s'] * 1e9:.0f} ns)\n"
         f"achieved: {bits_per_s / 1e9:.3f} G info bits/s = "
-        f"{100 * frac:.1f}% of the VPU speed-of-light "
-        f"(sustained {sustained_ops / 1e12:.2f} T census-ops/s; "
-        f"measured-floor bound {sol['floor_info_bits_per_s'] / 1e9:.3f} G)",
+        f"{100 * frac:.1f}% of the {'two-phase' if used_two_phase else 'single-pass'} "
+        f"speed-of-light (sustained {sustained_ops / 1e12:.2f} T "
+        f"census-ops/s; measured-floor bound "
+        f"{sol['floor_info_bits_per_s'] / 1e9:.3f} G)",
         flush=True,
     )
     return 0

@@ -147,6 +147,111 @@ def test_two_phase_bit_identical_layered_minsum():
     assert 0 < p1_ok.sum() < ok.sum()
 
 
+def test_decide_two_phase_operating_point():
+    """The probe decision: split off at FER~1, on in the waterfall."""
+    from ldpc_tpu.sim.config import SimOptions
+    from ldpc_tpu.sim.runner import PointExecutor
+
+    code = LDPCCode(alist=ccsds(128), name="ccsds_128")
+    ex = PointExecutor(code, SimOptions(
+        matrix="ccsds_128", blocks=4096, iterations=12, ber=True, fer=True,
+        fidelity="exact", batch=4096, seed=0, fused="on", two_phase="auto",
+    ))
+    assert ex._phase1_auto == 6
+    B, it = 4096, 12
+    # FER ~ 1: nothing converges -> every tile re-decodes at full budget,
+    # two-phase adds pure overhead -> must choose single-pass
+    conv = np.full(B, -1, np.int32)
+    ok = np.zeros(B, bool)
+    assert ex._decide_two_phase(conv, ok) is False
+    # waterfall regime (the bench point): most frames converge fast, but
+    # one straggler per tile drags EVERY tile to the full budget -> phase 1
+    # releases all tiles at 6 trips and re-decodes ~1/128 of lanes: a win
+    # (single-pass 12 trips/tile vs ~6 + 12/32 + overhead)
+    conv = np.full(B, 2, np.int32)
+    conv[::128] = it - 1
+    ok = np.ones(B, bool)
+    assert ex._decide_two_phase(conv, ok) is True
+    # fast-converging point: every tile exits at 4 trips on its own; the
+    # split could only add its emit/sort overhead -> single-pass
+    assert ex._decide_two_phase(
+        np.full(B, 3, np.int32), np.ones(B, bool)
+    ) is False
+    # tiny probe (sub-tile) must not crash
+    assert ex._decide_two_phase(
+        np.full(64, -1, np.int32), np.zeros(64, bool)
+    ) is False
+
+
+@slow
+def test_two_phase_auto_probe_counters_match():
+    """'auto' (probe-gated) produces the same counters as 'off' regardless
+    of which mode the probe picks, and kernel_used records the decision."""
+    from ldpc_tpu.sim.config import SimOptions
+    from ldpc_tpu.sim.runner import PointExecutor
+
+    code = LDPCCode(alist=ccsds(128), name="ccsds_128")
+    base = dict(
+        matrix="ccsds_128", blocks=512, iterations=8, ber=True, fer=True,
+        fidelity="exact", batch=128, seed=3, fused="on",
+    )
+    ex_off = PointExecutor(code, SimOptions(two_phase="off", **base))
+    ex_auto = PointExecutor(code, SimOptions(two_phase="auto", **base))
+    assert "+2phase(auto)" in ex_auto.kernel_used
+    for snr, snr_idx in ((4.0, 0), (0.0, 1)):
+        a = ex_off.run_point(snr, 512, jax.random.key(3), snr_idx)
+        b = ex_auto.run_point(snr, 512, jax.random.key(3), snr_idx)
+        assert ("+2phase(auto:" in ex_auto.kernel_used
+                and "(auto)" not in ex_auto.kernel_used)
+        assert (a.fer_frames, a.error_bits, a.conv_iters_sum, a.conv_count,
+                a.norm_llr_sum, a.ok_blocks, a.blocks) == (
+            b.fer_frames, b.error_bits, b.conv_iters_sum, b.conv_count,
+            b.norm_llr_sum, b.ok_blocks, b.blocks)
+    # at 0 dB (FER ~ 1) the probe must have declined the split
+    assert ex_auto._two_phase_choice[0.0] is False
+
+
+def test_two_phase_explicit_vmem_overflow_raises(monkeypatch):
+    """An explicit --two-phase N whose LLR-emit block cannot fit VMEM must
+    raise (mirroring fused='on'), while 'auto' silently runs single-phase."""
+    import ldpc_tpu.ops.mc_pallas as mcp
+    from ldpc_tpu.sim.config import SimOptions
+    from ldpc_tpu.sim.runner import PointExecutor
+
+    code = LDPCCode(alist=ccsds(128), name="ccsds_128")
+    base = mcp.mc_vmem_bytes(code.qc, noise_source="input", track_norm=False)
+    with_emit = mcp.mc_vmem_bytes(code.qc, noise_source="input",
+                                  track_norm=False, emit_llr=True)
+    assert with_emit > base
+    monkeypatch.setattr(mcp, "VMEM_BUDGET", (base + with_emit) // 2)
+    opts = dict(
+        matrix="ccsds_128", blocks=128, iterations=8, ber=True, fer=True,
+        fidelity="exact", batch=128, seed=0, fused="on",
+    )
+    with pytest.raises(ValueError, match="VMEM"):
+        PointExecutor(code, SimOptions(two_phase="4", **opts))
+    ex = PointExecutor(code, SimOptions(two_phase="auto", **opts))
+    assert "2phase" not in ex.kernel_used
+
+
+def test_two_phase_norm_llr_gate():
+    """norm_llr_sum is an f32 accumulator that is not bit-stable across
+    dispatch modes on hardware (parity_runs/tpu_two_phase_norm_evidence.json)
+    -- the executor must refuse the split when the metric is tracked."""
+    from ldpc_tpu.sim.config import SimOptions
+    from ldpc_tpu.sim.runner import PointExecutor
+
+    code = LDPCCode(alist=ccsds(128), name="ccsds_128")
+    opts = dict(
+        matrix="ccsds_128", blocks=128, iterations=8, ber=True, fer=True,
+        normalized_llr=True, fidelity="exact", batch=128, seed=0, fused="on",
+    )
+    with pytest.raises(ValueError, match="normalized-llr"):
+        PointExecutor(code, SimOptions(two_phase="4", **opts))
+    ex = PointExecutor(code, SimOptions(two_phase="auto", **opts))
+    assert "2phase" not in ex.kernel_used
+
+
 @slow
 def test_two_phase_runner_counters_match():
     """End-to-end through PointExecutor: two-phase on vs off, same seed,
