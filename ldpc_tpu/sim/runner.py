@@ -758,9 +758,10 @@ class PointExecutor:
     # [n, B] LLR emit + argsort + two [n, B] gathers + the second kernel
     # launch, expressed in units of one decode iteration of one tile.
     # Calibrated on the flagship envelope (examples/two_phase_envelope):
-    # measured batch-time deltas at 5 operating points bracket the constant
-    # at 1.3-2.1 trips; 2.0 is the conservative choice (prefers single-pass
-    # on the margin, so 'auto' never loses more than the probe's own noise).
+    # the implied overhead measured at 5 operating points (0-3.5 dB) spans
+    # 0.84-2.57 trips; 2.0 is the conservative choice (prefers single-pass
+    # on the margin, so 'auto' never loses more than the probe's own noise
+    # -- measured worst case auto/off = 1.001, best 1.08).
     TWO_PHASE_OVERHEAD_TRIPS = 2.0
 
     def _decide_two_phase(self, conv: np.ndarray, ok: np.ndarray) -> bool:
