@@ -545,3 +545,71 @@ def speed_of_light_two_phase(
         out["floor_t_frame_s"] = t_floor
         out["floor_info_bits_per_s"] = k / t_floor
     return out
+
+
+def measure_tile_trips(code, opts, snr_db: float, *, batches: int = 8):
+    """Measured per-tile trip statistics at an operating point (live TPU).
+
+    Runs the single-pass fused kernel at the full iteration budget and
+    returns ``(mean_tile_iters, trip_model)``: the former read directly
+    from the kernel's per-tile ``iters`` output (the fused kernel iterates
+    each 128-lane tile until ALL its codewords pass the syndrome check, so
+    the work unit is the tile, not the codeword); the latter derived from
+    per-frame convergence iterations
+    (:func:`ldpc_tpu.sim.runner.two_phase_trip_model` -- an exact
+    reconstruction of both dispatch modes' tile trip counts, so its
+    ``single`` entry cross-checks the kernel readback). These are the
+    measured inputs to :func:`speed_of_light` /
+    :func:`speed_of_light_two_phase`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ldpc_tpu.ops.channel import ChannelParams
+    from ldpc_tpu.ops.encode import make_encoder_T, random_info_bits
+    from ldpc_tpu.ops.mc_pallas import consts_vector, make_mc_decoder
+    from ldpc_tpu.sim.runner import resolve_two_phase, two_phase_trip_model
+
+    opts = opts.resolved()
+    qc = code.qc
+    spec = code.encode_spec(opts.encoding_method, opts.ru_gap)
+    info_pos = np.asarray(spec.info_pos("orig"), np.int32)
+    encode_T = make_encoder_T(spec, "orig")
+    mc_step = make_mc_decoder(
+        qc, info_pos, opts.iterations, opts.decoder_variant,
+        mode=opts.mode, modulation=opts.modulation,
+        alpha=opts.minsum_alpha, beta=opts.minsum_beta,
+        schedule=opts.schedule or "flooding",
+        track_norm=opts.normalized_llr,
+    )
+    consts = ChannelParams(
+        mode=opts.mode, modulation=opts.modulation, speed=opts.speed,
+        snr_db=snr_db, interference_snr_db=opts.interference_snr,
+        p=opts.p, noise_model=opts.noise_model,
+    ).consts()
+    cvec = consts_vector(consts)
+
+    @jax.jit
+    def run(key):
+        u = random_info_bits(key, opts.batch, code.k)
+        wT = encode_T(u)
+        seeds = jax.lax.bitcast_convert_type(
+            jax.random.bits(jax.random.fold_in(key, 1), (2,), jnp.uint32),
+            jnp.int32,
+        )
+        _, ok, conv, _, iters = mc_step(wT, cvec, seeds)
+        # iters is per-codeword but constant within each 128-lane tile
+        return jnp.mean(iters[::128].astype(jnp.float32)), conv, ok
+
+    phase1 = resolve_two_phase(opts.two_phase, opts.iterations) or \
+        opts.iterations // 2
+    tile_iters, models = [], []
+    for i in range(batches):
+        t, conv, ok = run(jax.random.key(100 + i))
+        tile_iters.append(float(t))
+        # model per batch (compaction groups lanes within one batch)
+        models.append(two_phase_trip_model(
+            np.asarray(conv), np.asarray(ok), phase1, opts.iterations
+        ))
+    model = {k2: float(np.mean([m[k2] for m in models])) for k2 in models[0]}
+    return float(np.mean(tile_iters)), model

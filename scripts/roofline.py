@@ -22,68 +22,15 @@ import json
 from pathlib import Path
 
 import jax
-import numpy as np
 
 
 def probe_point(code, opts, snr_db: float, *, batches: int = 8):
-    """Measured per-tile trip statistics at the operating point.
+    """Measured per-tile trip statistics at the operating point (moved to
+    ldpc_tpu.analysis.roofline.measure_tile_trips so scripts/perf_matrix.py
+    can share it; kept here as a thin alias)."""
+    from ldpc_tpu.analysis.roofline import measure_tile_trips
 
-    Runs the single-pass fused kernel at the full budget and returns
-    ``(mean_tile_iters, trip_model)``: the former read directly from the
-    kernel's per-tile ``iters`` output; the latter derived from per-frame
-    convergence iterations (sim.runner.two_phase_trip_model -- an exact
-    reconstruction of both dispatch modes' tile trip counts, so its
-    'single' entry cross-checks the kernel readback)."""
-    import jax.numpy as jnp
-
-    from ldpc_tpu.ops.channel import ChannelParams
-    from ldpc_tpu.ops.encode import make_encoder_T, random_info_bits
-    from ldpc_tpu.ops.mc_pallas import consts_vector, make_mc_decoder
-    from ldpc_tpu.sim.runner import resolve_two_phase, two_phase_trip_model
-
-    opts = opts.resolved()
-    qc = code.qc
-    spec = code.encode_spec(opts.encoding_method, opts.ru_gap)
-    info_pos = np.asarray(spec.info_pos("orig"), np.int32)
-    encode_T = make_encoder_T(spec, "orig")
-    mc_step = make_mc_decoder(
-        qc, info_pos, opts.iterations, opts.decoder_variant,
-        mode=opts.mode, modulation=opts.modulation,
-        alpha=opts.minsum_alpha, beta=opts.minsum_beta,
-        schedule=opts.schedule or "flooding",
-        track_norm=opts.normalized_llr,
-    )
-    consts = ChannelParams(
-        mode=opts.mode, modulation=opts.modulation, speed=opts.speed,
-        snr_db=snr_db, interference_snr_db=opts.interference_snr,
-        p=opts.p, noise_model=opts.noise_model,
-    ).consts()
-    cvec = consts_vector(consts)
-
-    @jax.jit
-    def run(key):
-        u = random_info_bits(key, opts.batch, code.k)
-        wT = encode_T(u)
-        seeds = jax.lax.bitcast_convert_type(
-            jax.random.bits(jax.random.fold_in(key, 1), (2,), jnp.uint32),
-            jnp.int32,
-        )
-        _, ok, conv, _, iters = mc_step(wT, cvec, seeds)
-        # iters is per-codeword but constant within each 128-lane tile
-        return jnp.mean(iters[::128].astype(jnp.float32)), conv, ok
-
-    phase1 = resolve_two_phase(opts.two_phase, opts.iterations) or \
-        opts.iterations // 2
-    tile_iters, models = [], []
-    for i in range(batches):
-        t, conv, ok = run(jax.random.key(100 + i))
-        tile_iters.append(float(t))
-        # model per batch (compaction groups lanes within one batch)
-        models.append(two_phase_trip_model(
-            np.asarray(conv), np.asarray(ok), phase1, opts.iterations
-        ))
-    model = {k: float(np.mean([m[k] for m in models])) for k in models[0]}
-    return float(np.mean(tile_iters)), model
+    return measure_tile_trips(code, opts, snr_db, batches=batches)
 
 
 def main() -> int:
