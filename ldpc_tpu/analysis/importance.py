@@ -145,11 +145,19 @@ class ISResult:
 
 
 def make_is_step(code: LDPCCode, opts: SimOptions, shifts: np.ndarray,
-                 *, pi0: float = 0.2, shift: float = 0.5):
+                 *, pi0: float = 0.2, shift: float = 0.5,
+                 return_resid: bool = False):
     """Build ``step(key, consts) -> per-frame (w, detected, wrong)``.
 
     ``shifts``: [M, n] 0/1 support masks (orbit_supports). Mode-1 BPSK
     exact-noise channel only -- the regime of the error-floor study.
+
+    ``return_resid=True`` appends the residual error vectors
+    ``est XOR transmitted`` (uint8 [B, n]) -- the depth-harvest hook: the
+    failures the BIASED sampler produces at deep SNR are exactly the events
+    a fixed-SNR plain-MC capture cannot see, so feeding their supports back
+    into the dictionary closes the completeness loop
+    (:func:`harvest_failures`).
     """
     opts = opts.resolved()
     if opts.mode != 1 or opts.modulation != 1:
@@ -218,9 +226,55 @@ def make_is_step(code: LDPCCode, opts: SimOptions, shifts: np.ndarray,
         stats = block_stats(u, res, info_pos_j, exact=True)
         detected = ~res.ok
         wrong = detected | (stats.error_bits > 0)
+        if return_resid:
+            resid = res.est ^ w_bits.astype(res.est.dtype)
+            return w, detected, wrong, resid
         return w, detected, wrong
 
     return jax.jit(step), kernel_used
+
+
+def harvest_failures(code: LDPCCode, opts: SimOptions, shifts: np.ndarray,
+                     snr_db: float, *, frames: int, pi0: float = 0.2,
+                     shift: float = 0.5, max_support: int = 24,
+                     seed: int = 23, say=print) -> list[list[int]]:
+    """Failure-residual supports harvested FROM the IS sampler itself.
+
+    A dictionary captured at one plain-MC SNR misses events that only
+    dominate deeper (larger supports with smaller pseudo-distance). The IS
+    proposal at a deep SNR produces failures at usable rates, and each
+    failing frame's residual support is a candidate event REGARDLESS of the
+    component that proposed it (the decoder, not the proposal, decides what
+    fails). Returns deduplicated supports of every failing frame with
+    ``0 < |support| <= max_support``, for folding into the next
+    dictionary round (orbit_supports).
+    """
+    opts = opts.resolved()
+    step, _ = make_is_step(code, opts, shifts, pi0=pi0, shift=shift,
+                           return_resid=True)
+    consts = ChannelParams(
+        mode=opts.mode, modulation=opts.modulation, speed=opts.speed,
+        snr_db=snr_db, interference_snr_db=opts.interference_snr,
+        p=opts.p, noise_model=opts.noise_model,
+    ).consts()
+    batch = opts.batch
+    n_batches = -(-frames // batch)
+    key = jax.random.fold_in(jax.random.key(seed), int(snr_db * 1000))
+    seen: set[tuple[int, ...]] = set()
+    fails = 0
+    for b in range(n_batches):
+        _, _, wrong, resid = step(jax.random.fold_in(key, b), consts)
+        wrong = np.asarray(wrong)
+        if not wrong.any():
+            continue
+        fails += int(wrong.sum())
+        for e in np.asarray(resid)[wrong]:
+            sup = np.flatnonzero(e)
+            if 0 < len(sup) <= max_support:
+                seen.add(tuple(int(x) for x in sup))
+    say(f"  harvested {len(seen)} distinct supports from {fails} failures "
+        f"/ {n_batches * batch} IS frames at {snr_db:g} dB")
+    return [list(s) for s in sorted(seen)]
 
 
 def estimate_point(

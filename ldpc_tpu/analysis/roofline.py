@@ -128,12 +128,15 @@ def decode_census(
     schedule: str = "layered",
     track_norm: bool = False,
     scheduled_alpha: bool = False,
+    check_every: int = 1,
 ) -> OpCount:
-    """Element-ops of ONE decode iteration per frame (codeword).
+    """Element-ops of ONE decode iteration (sweep) per frame (codeword).
 
     Mirrors spa_pallas.make_decode_loop body_layered / body_flooding +
     syndrome + norm_and_freeze exactly; rolls with shift % Z == 0 compile
-    away and are not counted.
+    away and are not counted. ``check_every=N`` amortizes the syndrome +
+    convergence-bookkeeping ops over N sweeps (the gated cadence of
+    make_decode_loop's ``check_every``).
     """
     Z, nb, mb = qc.Z, qc.nb, qc.mb
     row_slots = qc.row_slots()
@@ -179,21 +182,26 @@ def decode_census(
                 roll(-s)
                 c.add("fma", Z)
 
-    # syndrome: per edge roll + cmp + xor; per row an any-reduce over Z
+    # syndrome: per edge roll + cmp + xor; per row an any-reduce over Z --
+    # executed once per check_every sweeps (amortized below)
+    syn = OpCount()
     for bi in range(mb):
         for _, s in row_slots[bi]:
-            roll(s)
+            if s % Z:
+                syn.add("roll", Z)
         d = len(row_slots[bi])
-        c.add("fma", 2 * d * Z)  # cmp(<0) + xor fold
-        c.add("fma", Z)  # any over sublanes
-        c.add("fma", 1)  # any_unsat |=
+        syn.add("fma", 2 * d * Z)  # cmp(<0) + xor fold
+        syn.add("fma", Z)  # any over sublanes
+        syn.add("fma", 1)  # any_unsat |=
+    for cls, cnt in syn.counts.items():
+        c.add(cls, cnt / check_every)
     if track_norm:
         # per column: abs, cmp, prior*L, cmp, and, cast, *mask, sum(Z), add
         c.add("fma", nb * (7 * Z + Z))
         c.add("fma", nb)  # flips accumulate [1, TB]
         c.add("where", 1)  # norm select
-    # convergence bookkeeping on [1, TB]
-    c.add("where", 2)
+    # convergence bookkeeping on [1, TB], once per check
+    c.add("where", 2 / check_every)
     return c
 
 

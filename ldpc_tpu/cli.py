@@ -160,6 +160,21 @@ Examples:
                         help="Message-passing schedule: 'flooding' (the reference's) "
                              "or 'layered' serial-C for QC codes (~2x fewer "
                              "iterations to a given FER)")
+    parser.add_argument("--layer-order", type=str,
+                        choices=["serial", "paired"], default="serial",
+                        help="Layered-sweep row order: 'serial' (base rows "
+                             "0..mb-1) or 'paired' (disjoint-support row "
+                             "pairs per step -- two independent dependence "
+                             "chains for the VPU; a different, equally valid "
+                             "serial-C schedule)")
+    parser.add_argument("--check-every", type=int, default=1,
+                        help="Syndrome-check cadence in the Pallas decode "
+                             "loops: N runs N message-passing sweeps per "
+                             "check (~14%% of a layered iteration's ops). "
+                             "Convergence detection coarsens to N-sweep "
+                             "windows (conv_iter reports the check "
+                             "iteration); requires N | iterations and no "
+                             "--normalized-llr")
     parser.add_argument("--minsum-alpha", type=_parse_alpha, default=0.75,
                         help="Normalized min-sum scale factor, or a "
                              "comma-separated per-iteration schedule (e.g. a "
@@ -250,6 +265,8 @@ def options_from_args(args: argparse.Namespace) -> SimOptions:
         fused=args.fused,
         two_phase=args.two_phase,
         schedule=args.schedule,
+        layer_order=args.layer_order,
+        check_every=args.check_every,
         msg_store=args.msg_store,
         shorten=args.shorten,
         puncture=args.puncture,

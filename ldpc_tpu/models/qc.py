@@ -77,6 +77,53 @@ class QCLayout:
         return H
 
 
+def paired_layer_groups(qc: QCLayout) -> list[list[int]]:
+    """Greedy pairing of base rows with disjoint base-column support.
+
+    A layered (serial-C) sweep processes base rows one at a time; each
+    layer's check update -> posterior update is a DEPENDENT op chain, which
+    under-fills the VPU's 4-wide ALUs. Two layers whose base-column supports
+    are disjoint neither read nor write the same posteriors, so executing
+    them back-to-back is arithmetic-identical to executing them serially --
+    but expressing both in one step hands the compiler two independent
+    chains to interleave (ILP doubling on the serial bottleneck).
+
+    Returns groups of 1-2 row indices covering every base row exactly once.
+    Pairing is deterministic (fewest-candidates-first greedy, ties by
+    index); low-rate protographs (802.16e R1/2, WiGig R1/2: row degree ~6-7
+    of 24/16 base columns) pair fully, high-rate ones (R5/6: degree ~20 of
+    24) stay serial. The FLATTENED group order is a valid serial layered
+    schedule with identical arithmetic (ldpc_tpu.ops.layered accepts it as
+    ``layer_order`` for bit-parity testing).
+    """
+    rows = qc.row_slots()
+    mb = qc.mb
+    cols = [frozenset(bj for bj, _ in r) for r in rows]
+    adj = {
+        i: [j for j in range(mb) if j != i and not (cols[i] & cols[j])]
+        for i in range(mb)
+    }
+    groups: list[list[int]] = []
+    used: set[int] = set()
+    for i in sorted(range(mb), key=lambda i: (len(adj[i]), i)):
+        if i in used:
+            continue
+        partner = None
+        for j in sorted(adj[i], key=lambda j: (len(adj[j]), j)):
+            if j not in used:
+                partner = j
+                break
+        if partner is None:
+            groups.append([i])
+            used.add(i)
+        else:
+            groups.append(sorted([i, partner]))
+            used.update((i, partner))
+    # deterministic presentation order: by first row index
+    groups.sort(key=lambda g: g[0])
+    return groups
+
+
 def detect_qc(alist, min_z: int = 4, max_base_edges: int = 512) -> QCLayout | None:
     """Find the largest lift size Z for which ``alist`` is quasi-cyclic.
 

@@ -94,6 +94,7 @@ def make_qc_layered_decoder(
     *,
     alpha: float = 0.75,
     beta: float = 0.15,
+    layer_order: list[int] | None = None,
 ):
     """Build ``decode(llr: f32 [B, n]) -> DecodeResult`` (layered schedule).
 
@@ -101,9 +102,20 @@ def make_qc_layered_decoder(
     bit 1, exact parity rule, conv_iter is the 0-based iteration (one
     iteration = one full sweep over all layers) whose post-sweep syndrome
     cleared.
+
+    ``layer_order`` permutes the serial sweep over base rows (default
+    0..mb-1). The Pallas kernel's paired-layer schedule
+    (models.qc.paired_layer_groups) is arithmetic-identical to the serial
+    sweep in its FLATTENED group order, so passing that order here pins
+    bit-parity with the paired kernel (tests/test_pallas.py).
     """
     variant = variant.lower().replace("-", "_")
     n, Z, nb, mb = qc.n, qc.Z, qc.nb, qc.mb
+    order = list(range(mb)) if layer_order is None else list(layer_order)
+    if sorted(order) != list(range(mb)):
+        raise ValueError(
+            f"layer_order must permute base rows 0..{mb - 1}: {order!r}"
+        )
     row_slots = qc.row_slots()
     info_pos = jnp.asarray(np.asarray(info_pos, dtype=np.int32))
     k = max(int(info_pos.shape[0]), 1)
@@ -162,7 +174,7 @@ def make_qc_layered_decoder(
                 else:
                     a_of = lambda bi: a_row[alpha_class[bi]]  # noqa: E731
 
-            for bi in range(mb):
+            for bi in order:
                 slots = row_slots[bi]
                 msgs = [
                     roll(L[:, bj], s) - E[:, bi, j]

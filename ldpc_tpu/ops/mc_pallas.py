@@ -151,6 +151,8 @@ def make_mc_decoder(
     emit_llr: bool = False,
     track_norm: bool = True,
     msg_store: str = "f32",
+    layer_groups: list[list[int]] | None = None,
+    check_every: int = 1,
 ):
     """Build ``mc_step(wT, consts_vec, seeds[, raw][, skip]) -> BlockStats-like``.
 
@@ -204,7 +206,8 @@ def make_mc_decoder(
     loop = make_decode_loop(
         qc, max_iterations, variant, alpha=alpha, beta=beta,
         tile_b=tile_b, schedule=schedule, k=k, track_norm=track_norm,
-        msg_store=msg_store,
+        msg_store=msg_store, layer_groups=layer_groups,
+        check_every=check_every,
     )
     e_dtype = jnp.int8 if msg_store == "int8" else jnp.float32
 
@@ -421,6 +424,8 @@ def make_llr_decoder(
     interpret: bool = False,
     track_norm: bool = True,
     msg_store: str = "f32",
+    layer_groups: list[list[int]] | None = None,
+    check_every: int = 1,
 ):
     """Decode-from-LLRs with in-kernel counters and a per-lane pre-done mask.
 
@@ -459,7 +464,8 @@ def make_llr_decoder(
     loop = make_decode_loop(
         qc, max_iterations, variant, alpha=alpha, beta=beta,
         tile_b=tile_b, schedule=schedule, k=k, track_norm=track_norm,
-        msg_store=msg_store,
+        msg_store=msg_store, layer_groups=layer_groups,
+        check_every=check_every,
     )
     e_dtype = jnp.int8 if msg_store == "int8" else jnp.float32
 

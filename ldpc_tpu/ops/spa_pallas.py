@@ -185,6 +185,8 @@ def make_decode_loop(
     k: int = 1,
     track_norm: bool = True,
     msg_store: str = "f32",
+    layer_groups: list[list[int]] | None = None,
+    check_every: int = 1,
 ):
     """Build the in-kernel decode loop shared by the standalone decoder and
     the fused Monte-Carlo kernel.
@@ -203,6 +205,29 @@ def make_decode_loop(
     The simulation runner requests it only when ``--normalized-llr`` is off,
     matching the reference, which computes the metric only when its settings
     flag is set (spa_decoder.py:206-228).
+
+    ``layer_groups`` (layered schedule only): groups of 1-2 base-row
+    indices with pairwise-disjoint base-column support
+    (models.qc.paired_layer_groups). Rows in one group share no posteriors,
+    so hoisting both rows' message reads before either row's updates is
+    arithmetic-identical to processing them serially in the flattened group
+    order -- but it hands Mosaic two independent dependence chains per step
+    to interleave on the 4-wide ALUs. ``None`` keeps the natural serial
+    order 0..mb-1. Note the flattened order IS the schedule: a grouping
+    whose flattened order differs from 0..mb-1 produces (validly) different
+    decode trajectories than the default, like any serial-C row reordering.
+
+    ``check_every=N`` runs N message-passing sweeps per syndrome check
+    (the syndrome is ~14% of a layered iteration's ops at WiMAX R1/2 --
+    analysis.roofline.decode_census). Convergence detection and freezing
+    then happen at N-sweep granularity: ``conv`` reports the CHECK
+    iteration (up to N-1 later than the true convergence sweep), lanes
+    keep updating between checks (no mid-window freeze), and tiles exit at
+    window boundaries -- so counters are NOT bit-identical to
+    ``check_every=1``; FER agreement is statistical (a converged frame
+    re-passing the syndrome N-1 sweeps later is the overwhelmingly common
+    case). Requires ``max_iterations % N == 0`` and ``track_norm=False``
+    (the flip metric is defined per iteration).
 
     ``msg_store='int8'`` (min-sum family only) stores the extrinsic scratch
     E as int8 on a uniform [-E_INT8_CLIP, E_INT8_CLIP] grid -- the
@@ -225,6 +250,43 @@ def make_decode_loop(
         variant, alpha if alpha_arr is None else 1.0, beta
     )
     TB = tile_b
+    if layer_groups is None:
+        groups = [[bi] for bi in range(mb)]
+    else:
+        if schedule != "layered":
+            raise ValueError("layer_groups requires schedule='layered'")
+        flat = sorted(bi for g in layer_groups for bi in g)
+        if flat != list(range(mb)):
+            raise ValueError(
+                f"layer_groups must partition base rows 0..{mb - 1}: "
+                f"{layer_groups!r}"
+            )
+        for g in layer_groups:
+            if len(g) > 1:
+                seen: set[int] = set()
+                for bi in g:
+                    bjs = {bj for bj, _ in row_slots[bi]}
+                    if seen & bjs:
+                        raise ValueError(
+                            f"layer group {g} rows share base columns "
+                            f"{sorted(seen & bjs)} -- grouped rows must be "
+                            "disjoint for serial-order equivalence"
+                        )
+                    seen |= bjs
+        groups = [list(g) for g in layer_groups]
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1: {check_every}")
+    if check_every > 1:
+        if max_iterations % check_every:
+            raise ValueError(
+                f"check_every={check_every} must divide "
+                f"max_iterations={max_iterations}"
+            )
+        if track_norm:
+            raise ValueError(
+                "check_every > 1 requires track_norm=False: the "
+                "normalized-LLR flip metric is defined per iteration"
+            )
     if msg_store not in ("f32", "int8"):
         raise ValueError(f"msg_store must be 'f32' or 'int8': {msg_store!r}")
     int8_e = msg_store == "int8"
@@ -297,13 +359,13 @@ def make_decode_loop(
                 )
                 prior_ref[bj] = L  # frozen lanes: L (so prior) unchanged
             norm = jnp.where(active, flips / max(k, 1), norm)
-        conv = jnp.where(active & ok_now, it, conv)
+        # conv reports the CHECK iteration: the sweep index of the window's
+        # last sweep (== the true convergence iteration at check_every=1)
+        conv = jnp.where(active & ok_now, it + (check_every - 1), conv)
         done_f = jnp.maximum(done_f, ok_now.astype(jnp.float32))
-        return (it + 1, done_f, conv, norm)
+        return (it + check_every, done_f, conv, norm)
 
-    def body_flooding(llr_blk, mask_blk, E_ref, L_ref, prior_ref, carry):
-        it, done_f, conv, norm = carry
-        active = done_f < 0.5  # bool [1, TB], True while undecoded
+    def sweep_flooding(llr_blk, E_ref, L_ref, it, active):
         a_of = alpha_of(it)
 
         # ---- check-node update: messages recomputed as roll(L) - E ----
@@ -323,41 +385,63 @@ def make_decode_loop(
                 acc = acc + _roll0(E_read(E_ref, bi, slot), -s, Z)
             L_ref[bj] = acc
 
+    def body_flooding(llr_blk, mask_blk, E_ref, L_ref, prior_ref, carry):
+        it, done_f, conv, norm = carry
+        active = done_f < 0.5  # bool [1, TB], True while undecoded
+        for step in range(check_every):
+            sweep_flooding(llr_blk, E_ref, L_ref, it + step, active)
+
         ok_now = ~syndrome(lambda bj: L_ref[bj])
         return norm_and_freeze(
             L_ref, prior_ref, mask_blk, active, ok_now,
             (it, done_f, conv, norm),
         )
 
-    def body_layered(llr_blk, mask_blk, E_ref, L_ref, prior_ref, carry):
-        it, done_f, conv, norm = carry
-        active = done_f < 0.5
+    def sweep_layered(E_ref, L_ref, it, active):
         a_of = alpha_of(it)
 
         # ---- one serial sweep over base-row layers ----
-        for bi in range(mb):
-            slots = row_slots[bi]
-            msgs = [
-                _roll0(L_ref[bj], s, Z) - E_read(E_ref, bi, slot)
-                for slot, (bj, s) in enumerate(slots)
-            ]
-            e_new = [E_quantize(e) for e in check_update(msgs, a_of(bi))]
-            dup = len({bj for bj, _ in slots}) < len(slots)
-            if dup:
-                # multi-diagonal layer: both circulants of a doubled block
-                # feed the same base column -- accumulate extrinsic deltas
-                deltas: dict[int, jax.Array] = {}
-                for slot, (bj, s) in enumerate(slots):
-                    d = _roll0(e_new[slot] - E_read(E_ref, bi, slot), -s, Z)
-                    deltas[bj] = d if bj not in deltas else deltas[bj] + d
-                for bj, d in deltas.items():
-                    L_ref[bj] = jnp.where(active, L_ref[bj] + d, L_ref[bj])
-            else:
-                for slot, (bj, s) in enumerate(slots):
-                    l_new = _roll0(msgs[slot] + e_new[slot], -s, Z)
-                    L_ref[bj] = jnp.where(active, l_new, L_ref[bj])
-            for slot in range(len(slots)):
-                E_write(E_ref, bi, slot, e_new[slot], active)
+        # ``groups`` holds 1-2 rows of disjoint base-column support per
+        # step: hoisting every grouped row's message reads before any
+        # row's updates is arithmetic-identical to the flattened serial
+        # order (no shared posteriors), but exposes the rows' dependence
+        # chains to the scheduler as independent streams.
+        for group in groups:
+            read = []
+            for bi in group:
+                slots = row_slots[bi]
+                msgs = [
+                    _roll0(L_ref[bj], s, Z) - E_read(E_ref, bi, slot)
+                    for slot, (bj, s) in enumerate(slots)
+                ]
+                read.append((bi, slots, msgs))
+            for bi, slots, msgs in read:
+                e_new = [E_quantize(e) for e in check_update(msgs, a_of(bi))]
+                dup = len({bj for bj, _ in slots}) < len(slots)
+                if dup:
+                    # multi-diagonal layer: both circulants of a doubled
+                    # block feed the same base column -- accumulate
+                    # extrinsic deltas
+                    deltas: dict[int, jax.Array] = {}
+                    for slot, (bj, s) in enumerate(slots):
+                        d = _roll0(
+                            e_new[slot] - E_read(E_ref, bi, slot), -s, Z
+                        )
+                        deltas[bj] = d if bj not in deltas else deltas[bj] + d
+                    for bj, d in deltas.items():
+                        L_ref[bj] = jnp.where(active, L_ref[bj] + d, L_ref[bj])
+                else:
+                    for slot, (bj, s) in enumerate(slots):
+                        l_new = _roll0(msgs[slot] + e_new[slot], -s, Z)
+                        L_ref[bj] = jnp.where(active, l_new, L_ref[bj])
+                for slot in range(len(slots)):
+                    E_write(E_ref, bi, slot, e_new[slot], active)
+
+    def body_layered(llr_blk, mask_blk, E_ref, L_ref, prior_ref, carry):
+        it, done_f, conv, norm = carry
+        active = done_f < 0.5
+        for step in range(check_every):
+            sweep_layered(E_ref, L_ref, it + step, active)
 
         ok_now = ~syndrome(lambda bj: L_ref[bj])
         return norm_and_freeze(
@@ -419,6 +503,8 @@ def make_qc_decoder(
     schedule: str = "flooding",
     track_norm: bool = True,
     msg_store: str = "f32",
+    layer_groups: list[list[int]] | None = None,
+    check_every: int = 1,
 ):
     """Build ``decode(llr: f32 [B, n]) -> DecodeResult`` for a QC code.
 
@@ -449,7 +535,8 @@ def make_qc_decoder(
     loop = make_decode_loop(
         qc, max_iterations, variant, alpha=alpha, beta=beta,
         tile_b=tile_b, schedule=schedule, k=k, track_norm=track_norm,
-        msg_store=msg_store,
+        msg_store=msg_store, layer_groups=layer_groups,
+        check_every=check_every,
     )
     e_dtype = jnp.int8 if msg_store == "int8" else jnp.float32
 

@@ -111,6 +111,24 @@ class SimOptions:
     # iteration count (0 < N < max_iterations) forces the split everywhere.
     two_phase: str = "auto"
     schedule: str = "flooding"  # 'flooding' (reference schedule) | 'layered' (QC serial-C)
+    # layered-sweep row order: 'serial' processes base rows 0..mb-1 (the
+    # canonical serial-C order); 'paired' processes disjoint-support row
+    # PAIRS per step (models.qc.paired_layer_groups) -- arithmetic-identical
+    # to the serial sweep in the flattened pair order, but each step hands
+    # the VPU two independent dependence chains (better ALU packing on the
+    # serial layered bottleneck). A reordered sweep is a DIFFERENT (equally
+    # valid) decode schedule, so statistics differ from 'serial' at the MC
+    # level; layer_order is part of the checkpoint fingerprint.
+    layer_order: str = "serial"  # 'serial' | 'paired'
+    # syndrome-check cadence in the Pallas decode loops: N runs N
+    # message-passing sweeps per syndrome check (the check is ~14% of a
+    # layered iteration's ops). Convergence detection coarsens to N-sweep
+    # windows: conv_iter reports the check iteration, lanes keep updating
+    # between checks, so counters are NOT bit-identical to N=1 (FER
+    # agreement is statistical); part of the checkpoint fingerprint.
+    # Requires iterations % N == 0, --normalized-llr off, and a Pallas
+    # decode path (fused or kernel=pallas).
+    check_every: int = 1
     # extrinsic (check->var message) storage in the Pallas kernels:
     # 'int8' quantizes E to the FER-free 256-level grid of
     # examples/quantized_messages (min-sum variants only; 3-4x smaller E
@@ -149,6 +167,24 @@ class SimOptions:
         """Fill fidelity-derived fields."""
         if self.fidelity not in ("reference", "exact"):
             raise ValueError(f"Unknown fidelity preset: {self.fidelity}")
+        if self.layer_order not in ("serial", "paired"):
+            raise ValueError(
+                f"layer_order must be 'serial' or 'paired': {self.layer_order!r}"
+            )
+        if self.layer_order == "paired" and self.schedule != "layered":
+            raise ValueError("--layer-order paired requires --schedule layered")
+        if self.check_every < 1:
+            raise ValueError(f"--check-every must be >= 1: {self.check_every}")
+        if self.check_every > 1 and self.iterations % self.check_every:
+            raise ValueError(
+                f"--check-every {self.check_every} must divide "
+                f"--iterations {self.iterations}"
+            )
+        if self.check_every > 1 and self.normalized_llr:
+            raise ValueError(
+                "--check-every > 1 is incompatible with --normalized-llr "
+                "(the flip metric is defined per iteration)"
+            )
         exact = self.fidelity == "exact"
         return replace(
             self,

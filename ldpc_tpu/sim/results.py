@@ -84,6 +84,8 @@ class SimulationConfig:
     exact_ber: bool = False
     adaptive: bool = False
     fused: str = "auto"
+    layer_order: str = "serial"
+    check_every: int = 1
 
 
 @dataclass

@@ -60,6 +60,28 @@ def load_code(path: str) -> LDPCCode:
 _PALLAS_VARIANTS = ("spa", "minsum", "normalized_minsum", "offset_minsum")
 
 
+def resolve_layer_groups(qc, opts, schedule: str) -> list[list[int]] | None:
+    """Layer groups for the paired layered sweep, or None for serial.
+
+    ``--layer-order paired`` groups disjoint-support base rows
+    (models.qc.paired_layer_groups) so each layered step carries two
+    independent dependence chains. Returns None when pairing is off, the
+    schedule is not layered, the code is not QC, or no disjoint pair exists
+    (then the greedy grouping IS the serial order and the kernels should
+    stay byte-identical to serial).
+    """
+    if getattr(opts, "layer_order", "serial") != "paired":
+        return None
+    if schedule != "layered" or qc is None:
+        return None
+    from ldpc_tpu.models.qc import paired_layer_groups
+
+    groups = paired_layer_groups(qc)
+    if all(len(g) == 1 for g in groups):
+        return None
+    return groups
+
+
 def resolve_two_phase(two_phase: str | int, max_iterations: int) -> int:
     """Phase-1 iteration count for two-phase fused dispatch, or 0 for off.
 
@@ -212,6 +234,15 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
                 )
             use_pallas = False
 
+    layer_groups = resolve_layer_groups(code.qc, opts, schedule)
+    if opts.check_every > 1 and not use_pallas:
+        raise ValueError(
+            "--check-every > 1 is a Pallas decode-loop knob: it requires a "
+            "configuration the QC kernel accepts (QC code, "
+            "check_rule='exact', decode_graph='orig', SPA/min-sum variant, "
+            "kernel 'auto' on TPU or 'pallas')"
+        )
+
     def build(iters):
         if use_pallas:
             from ldpc_tpu.ops.spa_pallas import make_qc_decoder, pick_tile_b
@@ -230,6 +261,8 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
                 # its VMEM scratch) when the metric is not requested
                 track_norm=opts.normalized_llr,
                 msg_store=opts.msg_store,
+                layer_groups=layer_groups,
+                check_every=opts.check_every,
             )
         if schedule == "layered":
             from ldpc_tpu.ops.layered import make_qc_layered_decoder
@@ -237,6 +270,12 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
             return make_qc_layered_decoder(
                 code.qc, info_pos, iters, variant,
                 alpha=opts.minsum_alpha, beta=opts.minsum_beta,
+                # the XLA layered decoder expresses the paired schedule as
+                # its flattened serial order (arithmetic-identical)
+                layer_order=(
+                    None if layer_groups is None
+                    else [bi for g in layer_groups for bi in g]
+                ),
             )
         return make_decoder(
             layout,
@@ -251,6 +290,10 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
     kind = "pallas" if use_pallas else "xla"
     if schedule == "layered":
         kind += "+layered"
+    if layer_groups is not None:
+        kind += "+paired"
+    if opts.check_every > 1:
+        kind += f"+ce{opts.check_every}"
     return build(max_iterations), kind
 
 
@@ -462,6 +505,7 @@ class PointExecutor:
             )
 
             encode_T = make_encoder_T(spec, self.graph)
+            layer_groups = resolve_layer_groups(code.qc, opts, schedule)
             kernel_kw = dict(
                 mode=opts.mode,
                 modulation=self.modulation,
@@ -472,6 +516,10 @@ class PointExecutor:
                 interpret=not on_tpu,
                 track_norm=opts.normalized_llr,
                 msg_store=opts.msg_store,
+                # paired layered sweep: phase 1 and phase 2 share the same
+                # flattened layer order, keeping two-phase lane-parity intact
+                layer_groups=layer_groups,
+                check_every=opts.check_every,
             )
             decode_kw = {
                 k: v for k, v in kernel_kw.items()
@@ -663,6 +711,8 @@ class PointExecutor:
 
             self._kernel_base = "pallas+fused" + (
                 "+layered" if schedule == "layered" else ""
+            ) + ("+paired" if layer_groups is not None else "") + (
+                f"+ce{opts.check_every}" if opts.check_every > 1 else ""
             ) + ("+mesh" if mesh is not None and batch_axes else "")
             if phase1 and opts.two_phase == "auto":
                 # operating-point-aware dispatch: build BOTH pairs; each SNR
@@ -988,6 +1038,8 @@ def make_sim_config(opts: SimOptions, code: LDPCCode) -> SimulationConfig:
         exact_ber=opts.exact_ber,
         adaptive=opts.adaptive,
         fused=opts.fused,
+        layer_order=opts.layer_order,
+        check_every=opts.check_every,
     )
 
 
@@ -1004,6 +1056,10 @@ def sweep_fingerprint(config: SimulationConfig) -> tuple:
         config.decode_graph, config.check_rule, config.noise_model,
         config.seed, config.shorten, config.puncture, config.schedule,
         config.s_param, config.exact_ber, config.adaptive, config.fused,
+        # a reordered layered sweep is a different decode schedule with
+        # different statistics (unlike two_phase below); a gated syndrome
+        # cadence coarsens convergence detection, likewise
+        config.layer_order, config.check_every,
         # batch shapes the key->codeword stream (keys fold per batch index),
         # so a different batch size is a DIFFERENT sweep, not a resumable one
         config.batch,

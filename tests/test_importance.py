@@ -109,3 +109,25 @@ def test_isresult_roundtrip():
                  1.0, 3.2, 17)
     d = r.to_dict()
     assert d["snr_db"] == 5.0 and d["fail_frames"] == 17
+
+
+def test_harvest_failures_returns_supports(ccsds):
+    """Depth-harvest hook: residual supports of the IS sampler's own
+    failures come back deduplicated and size-capped, and refeeding them
+    through orbit_supports grows (or keeps) the mixture."""
+    from ldpc_tpu.analysis.importance import harvest_failures
+
+    opts = _opts(256, iterations=4)
+    base = [[0, 5, 9]]
+    shifts = orbit_supports(base, ccsds.qc.Z, ccsds.n)
+    sups = harvest_failures(
+        ccsds, opts, shifts, 2.0, frames=512, max_support=12,
+        say=lambda *a, **k: None,
+    )
+    assert sups, "at 2 dB the sampler must produce failures"
+    assert len({tuple(s) for s in sups}) == len(sups)
+    for s in sups:
+        assert 0 < len(s) <= 12
+        assert s == sorted(s)
+    grown = orbit_supports(base + sups, ccsds.qc.Z, ccsds.n)
+    assert grown.shape[0] >= shifts.shape[0]
