@@ -94,6 +94,13 @@ def main() -> int:
         seed=0,
         speed=0.5,  # Eb/N0 axis: rate-1/2 waterfall at 2 dB
         schedule="layered",
+        # round-4 MFU levers, measured +4.3% combined at this point
+        # (examples/mfu_levers): disjoint-row pair steps + one syndrome
+        # check per two sweeps. Both change MC statistics (FER at this
+        # point 6.5e-3 vs 6.15e-3 serial -- same operating point within
+        # MC noise); the committed roofline prices this exact config.
+        layer_order="paired",
+        check_every=2,
     )
     executor = PointExecutor(code, opts)
 
@@ -128,7 +135,13 @@ def main() -> int:
         used_two_phase = bool(
             re.search(r"\+2phase\((?:auto:)?\d+\)", executor.kernel_used)
         )
-        if roof.get("two_phase_ceiling", False) == used_two_phase:
+        # ... and the decode-loop op stream must match too: the gated
+        # syndrome cadence (check_every) changes ops/sweep, so a ceiling
+        # priced at a different cadence is the wrong denominator.
+        # (layer_order does not change the op count -- pairing only
+        # reorders statements -- so it is not gated on.)
+        if (roof.get("two_phase_ceiling", False) == used_two_phase
+                and roof.get("check_every", 1) == opts.check_every):
             ceiling = roof["ceiling_info_bits_per_s"]
         else:
             print(

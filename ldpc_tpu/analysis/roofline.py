@@ -430,6 +430,7 @@ def speed_of_light(
     track_norm: bool = False,
     mean_tile_iters: float = 1.0,
     peak_ops_per_s: float | None = None,
+    check_every: int = 1,
 ) -> dict:
     """Lower-bound time per frame and ceiling info bits/s for the fused
     kernel at a measured mean per-tile iteration count.
@@ -441,7 +442,8 @@ def speed_of_light(
     ``floor_*`` bound prices each class at its measured dependent-chain
     floor (pessimistic: real kernels schedule better than a serial chain).
     """
-    per_iter = decode_census(qc, variant, schedule, track_norm)
+    per_iter = decode_census(qc, variant, schedule, track_norm,
+                             check_every=check_every)
     fixed = channel_census(qc, mode)
     frame = fixed + per_iter.scaled(mean_tile_iters)
 
@@ -483,6 +485,7 @@ def speed_of_light_two_phase(
     trip_model: dict,
     peak_ops_per_s: float | None = None,
     hbm_bytes_per_s: float = HBM_BYTES_PER_S,
+    check_every: int = 1,
 ) -> dict:
     """Speed-of-light ceiling for the TWO-PHASE fused dispatch.
 
@@ -516,7 +519,8 @@ def speed_of_light_two_phase(
     8 x 4n. At WiMAX (1152, 576) that is ~37 KB/frame = ~45 ns at 819 GB/s,
     under the compute term; it is reported so the max() is auditable.
     """
-    per_iter = decode_census(qc, variant, schedule, track_norm)
+    per_iter = decode_census(qc, variant, schedule, track_norm,
+                             check_every=check_every)
     fixed = channel_census(qc, mode)
     tails = init_census(qc) + counter_census(qc)
     emit = OpCount()

@@ -39,6 +39,10 @@ def main() -> int:
     ap.add_argument("--snr", type=float, default=2.0)
     ap.add_argument("--iterations", type=int, default=12)
     ap.add_argument("--schedule", default="layered")
+    ap.add_argument("--layer-order", default="paired",
+                    help="bench.py's production config (round 4)")
+    ap.add_argument("--check-every", type=int, default=2,
+                    help="bench.py's production config (round 4)")
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--bench-batches", type=int, default=320)
     ap.add_argument("--out", default="examples/roofline")
@@ -66,6 +70,7 @@ def main() -> int:
         matrix=args.code, blocks=args.batch, iterations=args.iterations,
         ber=True, fer=True, fidelity="exact", batch=args.batch, seed=0,
         speed=code.k / code.n, schedule=args.schedule,
+        layer_order=args.layer_order, check_every=args.check_every,
     )
 
     dev = jax.devices()[0].device_kind
@@ -87,6 +92,7 @@ def main() -> int:
     sol_kw = dict(
         k=code.k, variant=opts.decoder_variant, schedule=args.schedule,
         mode=opts.mode, track_norm=opts.normalized_llr, peak_ops_per_s=peak,
+        check_every=args.check_every,
     )
     sol1 = speed_of_light(
         code.qc, rates, mean_tile_iters=tile_iters, **sol_kw
@@ -121,6 +127,8 @@ def main() -> int:
         "iterations": args.iterations,
         "kernel": executor.kernel_used,
         "two_phase_ceiling": used_two_phase,
+        "layer_order": args.layer_order,
+        "check_every": args.check_every,
         "vpu_peak_ops_per_s": peak,
         "vpu_measured_floor_gops": {c: rates[c] / 1e9 for c in CLASSES},
         "mean_tile_iters": tile_iters,
