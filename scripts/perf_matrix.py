@@ -135,6 +135,66 @@ def row_ceiling(code, opts, snr, kernel_used: str) -> dict | None:
     }
 
 
+def write_readme(out: Path, dev: str, rows, ceilings,
+                 n_windows: int, n_batches: int) -> None:
+    """Regenerate README.md from results rows (also used by cell-repair
+    one-offs: python -c "import json; from perf_matrix import write_readme; ...")."""
+    # README table
+    lines = [
+        "# Throughput matrix — decoded info bits/s/chip\n",
+        f"Measured on {dev} by `scripts/perf_matrix.py` (bench.py's "
+        "median-window methodology, full fused Monte-Carlo pipeline, "
+        "production dispatch = probe-gated two-phase).\n",
+        "Each code runs at the Eb/N0 where layered-12 SPA FER falls in "
+        "[2e-3, 3e-2] — a true waterfall operating point, shared by all "
+        "four decoder configs of that row so columns compare on identical "
+        "channels. One row per non-WiMAX family in the reference database. "
+        "The reference decodes ~363 info bits/s (BASELINE.md).\n",
+        f"Cells show the median of {n_windows} timed windows with the "
+        "middle-window spread (one outlier window dropped per side: the "
+        "remote-TPU tunnel stalls single windows 10-50x; absolute min/max "
+        "are in results.json). Claims that compare cells should survive "
+        "the spread, not just the medians. Windows are "
+        f"{n_batches} batches (vs the headline bench's 320), so "
+        "per-window dispatch overhead depresses these numbers ~10-20% "
+        "relative to `bench.py`'s flagship figure.\n",
+        "`ceiling` is the row's census speed-of-light "
+        "(`ldpc_tpu.analysis.roofline`) at the measured mean tile trips, "
+        "priced for the dispatch the spa/layered cell ran; `%SoL` is that "
+        "cell's fraction of it.\n",
+        "| code | n | rate | Eb/N0 | "
+        + " | ".join(c[0] for c in CONFIGS)
+        + " | ceiling | %SoL |",
+        "|---|---|---|---|" + "---|" * (len(CONFIGS) + 2),
+    ]
+    by_code: dict[str, dict] = {}
+    for r in rows:
+        by_code.setdefault(
+            r["code"], {"snr": r["snr_db"], "n": r["n"], "rate": r["rate"]}
+        )[r["config"]] = r
+    for cname, d in by_code.items():
+        cells = []
+        for label, *_ in CONFIGS:
+            r = d.get(label)
+            cells.append(
+                f"{r['info_bits_per_s'] / 1e9:.2f} G "
+                f"[{r.get('info_bits_per_s_mid_lo', r['info_bits_per_s_min']) / 1e9:.2f}–"
+                f"{r.get('info_bits_per_s_mid_hi', r['info_bits_per_s_max']) / 1e9:.2f}] "
+                f"(FER {r['fer']:.0e})"
+                if r else "—"
+            )
+        ceil = ceilings.get(cname)
+        cells.append(
+            f"{ceil['ceiling_info_bits_per_s'] / 1e9:.2f} G" if ceil else "—"
+        )
+        cells.append(f"{ceil['pct_of_ceiling']}%" if ceil else "—")
+        lines.append(
+            f"| {cname} | {d['n']} | {d['rate']:g} | {d['snr']:.2f} dB | "
+            + " | ".join(cells) + " |"
+        )
+    (out / "README.md").write_text("\n".join(lines) + "\n")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="examples/perf_matrix")
@@ -232,60 +292,8 @@ def main() -> int:
              "n_batches": args.n_batches, "batch": args.batch,
              "rows": rows, "ceilings": ceilings}, indent=1))
 
-    # README table
-    lines = [
-        "# Throughput matrix — decoded info bits/s/chip\n",
-        f"Measured on {dev} by `scripts/perf_matrix.py` (bench.py's "
-        "median-window methodology, full fused Monte-Carlo pipeline, "
-        "production dispatch = probe-gated two-phase).\n",
-        "Each code runs at the Eb/N0 where layered-12 SPA FER falls in "
-        "[2e-3, 3e-2] — a true waterfall operating point, shared by all "
-        "four decoder configs of that row so columns compare on identical "
-        "channels. One row per non-WiMAX family in the reference database. "
-        "The reference decodes ~363 info bits/s (BASELINE.md).\n",
-        f"Cells show the median of {args.n_windows} timed windows with the "
-        "middle-window spread (one outlier window dropped per side: the "
-        "remote-TPU tunnel stalls single windows 10-50x; absolute min/max "
-        "are in results.json). Claims that compare cells should survive "
-        "the spread, not just the medians. Windows are "
-        f"{args.n_batches} batches (vs the headline bench's 320), so "
-        "per-window dispatch overhead depresses these numbers ~10-20% "
-        "relative to `bench.py`'s flagship figure.\n",
-        "`ceiling` is the row's census speed-of-light "
-        "(`ldpc_tpu.analysis.roofline`) at the measured mean tile trips, "
-        "priced for the dispatch the spa/layered cell ran; `%SoL` is that "
-        "cell's fraction of it.\n",
-        "| code | n | rate | Eb/N0 | "
-        + " | ".join(c[0] for c in CONFIGS)
-        + " | ceiling | %SoL |",
-        "|---|---|---|---|" + "---|" * (len(CONFIGS) + 2),
-    ]
-    by_code: dict[str, dict] = {}
-    for r in rows:
-        by_code.setdefault(
-            r["code"], {"snr": r["snr_db"], "n": r["n"], "rate": r["rate"]}
-        )[r["config"]] = r
-    for cname, d in by_code.items():
-        cells = []
-        for label, *_ in CONFIGS:
-            r = d.get(label)
-            cells.append(
-                f"{r['info_bits_per_s'] / 1e9:.2f} G "
-                f"[{r.get('info_bits_per_s_mid_lo', r['info_bits_per_s_min']) / 1e9:.2f}–"
-                f"{r.get('info_bits_per_s_mid_hi', r['info_bits_per_s_max']) / 1e9:.2f}] "
-                f"(FER {r['fer']:.0e})"
-                if r else "—"
-            )
-        ceil = ceilings.get(cname)
-        cells.append(
-            f"{ceil['ceiling_info_bits_per_s'] / 1e9:.2f} G" if ceil else "—"
-        )
-        cells.append(f"{ceil['pct_of_ceiling']}%" if ceil else "—")
-        lines.append(
-            f"| {cname} | {d['n']} | {d['rate']:g} | {d['snr']:.2f} dB | "
-            + " | ".join(cells) + " |"
-        )
-    (out / "README.md").write_text("\n".join(lines) + "\n")
+    write_readme(out, dev, rows, ceilings, args.n_windows,
+                 args.n_batches)
     print(f"# wrote {out}/results.json and README.md", flush=True)
     return 0
 
