@@ -237,6 +237,7 @@ def make_is_step(code: LDPCCode, opts: SimOptions, shifts: np.ndarray,
 def harvest_failures(code: LDPCCode, opts: SimOptions, shifts: np.ndarray,
                      snr_db: float, *, frames: int, pi0: float = 0.2,
                      shift: float = 0.5, max_support: int = 24,
+                     min_count: int = 2, top: int | None = 64,
                      seed: int = 23, say=print) -> list[list[int]]:
     """Failure-residual supports harvested FROM the IS sampler itself.
 
@@ -245,11 +246,20 @@ def harvest_failures(code: LDPCCode, opts: SimOptions, shifts: np.ndarray,
     proposal at a deep SNR produces failures at usable rates, and each
     failing frame's residual support is a candidate event REGARDLESS of the
     component that proposed it (the decoder, not the proposal, decides what
-    fails). Returns deduplicated supports of every failing frame with
-    ``0 < |support| <= max_support``, for folding into the next
-    dictionary round (orbit_supports).
+    fails).
+
+    Most biased-draw failures are one-off bulk residuals (a shifted draw
+    that failed messily), not structural events; folding tens of thousands
+    of singletons would dilute the mixture and force arbitrary component
+    caps. The filter is RECURRENCE after QC-orbit canonicalization: an
+    event family that matters at depth is hit through many shifts, so its
+    canonical support recurs. Returns up to ``top`` supports (orbit
+    representatives, ``0 < |support| <= max_support``) seen at least
+    ``min_count`` times, most-recurrent first; drops are logged, never
+    silent.
     """
     opts = opts.resolved()
+    Z = code.qc.Z if code.qc is not None else 1
     step, _ = make_is_step(code, opts, shifts, pi0=pi0, shift=shift,
                            return_resid=True)
     consts = ChannelParams(
@@ -260,8 +270,19 @@ def harvest_failures(code: LDPCCode, opts: SimOptions, shifts: np.ndarray,
     batch = opts.batch
     n_batches = -(-frames // batch)
     key = jax.random.fold_in(jax.random.key(seed), int(snr_db * 1000))
-    seen: set[tuple[int, ...]] = set()
+
+    def canon(sup: np.ndarray) -> tuple[int, ...]:
+        bj, r = sup // Z, sup % Z
+        best = None
+        for t in range(Z):
+            cand = tuple(int(x) for x in np.sort(bj * Z + (r + t) % Z))
+            if best is None or cand < best:
+                best = cand
+        return best
+
+    counts: dict[tuple[int, ...], int] = {}
     fails = 0
+    oversize = 0
     for b in range(n_batches):
         _, _, wrong, resid = step(jax.random.fold_in(key, b), consts)
         wrong = np.asarray(wrong)
@@ -270,11 +291,25 @@ def harvest_failures(code: LDPCCode, opts: SimOptions, shifts: np.ndarray,
         fails += int(wrong.sum())
         for e in np.asarray(resid)[wrong]:
             sup = np.flatnonzero(e)
-            if 0 < len(sup) <= max_support:
-                seen.add(tuple(int(x) for x in sup))
-    say(f"  harvested {len(seen)} distinct supports from {fails} failures "
-        f"/ {n_batches * batch} IS frames at {snr_db:g} dB")
-    return [list(s) for s in sorted(seen)]
+            if len(sup) == 0 or len(sup) > max_support:
+                oversize += len(sup) > max_support
+                continue
+            c = canon(sup)
+            counts[c] = counts.get(c, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    keep = [list(s) for s, n in ranked if n >= min_count]
+    dropped_single = len(ranked) - len(keep)
+    if top is not None and len(keep) > top:
+        dropped_tail = len(keep) - top
+        keep = keep[:top]
+    else:
+        dropped_tail = 0
+    say(f"  harvested {len(keep)} recurrent orbit supports at {snr_db:g} dB "
+        f"({fails} failures / {n_batches * batch} IS frames; "
+        f"{len(ranked)} distinct orbits, {dropped_single} below "
+        f"min_count={min_count}, {dropped_tail} beyond top={top}, "
+        f"{oversize} residuals over max_support={max_support})")
+    return keep
 
 
 def estimate_point(

@@ -42,7 +42,7 @@ def main() -> int:
     ap.add_argument("--schedule", default="layered")
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--max-support", type=int, default=24)
-    ap.add_argument("--max-components", type=int, default=3072)
+    ap.add_argument("--max-components", type=int, default=4096)
     ap.add_argument("--out",
                     default="examples/error_floor/wran384/importance/"
                             "results_depth.json")
@@ -91,6 +91,7 @@ def main() -> int:
         harvested += harvest_failures(
             code, opts, shifts0, snr, frames=args.harvest_frames,
             pi0=pi0, shift=shift, max_support=args.max_support,
+            min_count=2, top=64,
         )
     harvested = [list(s) for s in {tuple(s) for s in harvested}]
     print(f"# {len(harvested)} distinct harvested supports", flush=True)

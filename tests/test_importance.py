@@ -121,7 +121,7 @@ def test_harvest_failures_returns_supports(ccsds):
     base = [[0, 5, 9]]
     shifts = orbit_supports(base, ccsds.qc.Z, ccsds.n)
     sups = harvest_failures(
-        ccsds, opts, shifts, 2.0, frames=512, max_support=12,
+        ccsds, opts, shifts, 2.0, frames=512, max_support=12, min_count=1,
         say=lambda *a, **k: None,
     )
     assert sups, "at 2 dB the sampler must produce failures"
