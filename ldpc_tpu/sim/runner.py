@@ -82,7 +82,8 @@ def resolve_layer_groups(qc, opts, schedule: str) -> list[list[int]] | None:
     return groups
 
 
-def resolve_two_phase(two_phase: str | int, max_iterations: int) -> int:
+def resolve_two_phase(two_phase: str | int, max_iterations: int,
+                      check_every: int = 1) -> int:
     """Phase-1 iteration count for two-phase fused dispatch, or 0 for off.
 
     'auto' splits the budget in half once there is enough of one to split
@@ -92,11 +93,18 @@ def resolve_two_phase(two_phase: str | int, max_iterations: int) -> int:
     at FER~1 the split is strictly slower). 'off' disables; an explicit
     N must satisfy 0 < N < max_iterations and forces the split everywhere.
     Results are bit-identical either way (tests/test_two_phase.py,
-    parity_runs/tpu_two_phase.json), so this is purely a dispatch knob."""
+    parity_runs/tpu_two_phase.json), so this is purely a dispatch knob.
+
+    Under a gated syndrome cadence (``check_every`` > 1) the phase-1
+    budget must land on a check boundary (the kernel only detects
+    convergence there): 'auto' rounds its half-budget DOWN to a multiple
+    of check_every (losing the split entirely when that hits 0); an
+    explicit N that is not a multiple raises."""
     if two_phase in ("off", "0", 0):
         return 0
     if two_phase == "auto":
-        return max_iterations // 2 if max_iterations >= 8 else 0
+        p1 = max_iterations // 2 if max_iterations >= 8 else 0
+        return p1 - (p1 % check_every)
     try:
         n = int(two_phase)
     except (TypeError, ValueError):
@@ -107,6 +115,12 @@ def resolve_two_phase(two_phase: str | int, max_iterations: int) -> int:
         raise ValueError(
             f"--two-phase phase-1 iterations must be in (0, max_iterations="
             f"{max_iterations}): {n}"
+        )
+    if n % check_every:
+        raise ValueError(
+            f"--two-phase {n} must be a multiple of --check-every "
+            f"{check_every}: convergence is only detected at check "
+            "boundaries"
         )
     return n
 
@@ -429,7 +443,8 @@ class PointExecutor:
             # batch axis to shard over, and a step the caller won't vmap)
             and (mesh is None or (bool(batch_axes) and not step_vmapped))
         )
-        phase1 = resolve_two_phase(opts.two_phase, self.max_iterations)
+        phase1 = resolve_two_phase(opts.two_phase, self.max_iterations,
+                                   opts.check_every)
         if phase1 and opts.normalized_llr:
             # two-phase requires checkpoint-exact counters across dispatch
             # modes. Integer counters (error_bits, fer_frames, conv) are

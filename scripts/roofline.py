@@ -97,7 +97,8 @@ def main() -> int:
     sol1 = speed_of_light(
         code.qc, rates, mean_tile_iters=tile_iters, **sol_kw
     )
-    phase1 = resolve_two_phase(opts.two_phase, opts.iterations)
+    phase1 = resolve_two_phase(opts.two_phase, opts.iterations,
+                               opts.check_every)
     sol2 = speed_of_light_two_phase(
         code.qc, rates, phase1=phase1 or opts.iterations // 2,
         trip_model=trip_model, **sol_kw,
