@@ -271,18 +271,15 @@ def harvest_failures(code: LDPCCode, opts: SimOptions, shifts: np.ndarray,
     n_batches = -(-frames // batch)
     key = jax.random.fold_in(jax.random.key(seed), int(snr_db * 1000))
 
+    from ldpc_tpu.models.qc import qc_orbit_canonical
+
     def canon(sup: np.ndarray) -> tuple[int, ...]:
-        bj, r = sup // Z, sup % Z
-        best = None
-        for t in range(Z):
-            cand = tuple(int(x) for x in np.sort(bj * Z + (r + t) % Z))
-            if best is None or cand < best:
-                best = cand
-        return best
+        return qc_orbit_canonical(sup, Z)
 
     counts: dict[tuple[int, ...], int] = {}
     fails = 0
     oversize = 0
+    empty = 0  # detected-only failures with est == transmitted
     for b in range(n_batches):
         _, _, wrong, resid = step(jax.random.fold_in(key, b), consts)
         wrong = np.asarray(wrong)
@@ -291,8 +288,11 @@ def harvest_failures(code: LDPCCode, opts: SimOptions, shifts: np.ndarray,
         fails += int(wrong.sum())
         for e in np.asarray(resid)[wrong]:
             sup = np.flatnonzero(e)
-            if len(sup) == 0 or len(sup) > max_support:
-                oversize += len(sup) > max_support
+            if len(sup) == 0:
+                empty += 1
+                continue
+            if len(sup) > max_support:
+                oversize += 1
                 continue
             c = canon(sup)
             counts[c] = counts.get(c, 0) + 1
@@ -308,7 +308,8 @@ def harvest_failures(code: LDPCCode, opts: SimOptions, shifts: np.ndarray,
         f"({fails} failures / {n_batches * batch} IS frames; "
         f"{len(ranked)} distinct orbits, {dropped_single} below "
         f"min_count={min_count}, {dropped_tail} beyond top={top}, "
-        f"{oversize} residuals over max_support={max_support})")
+        f"{oversize} residuals over max_support={max_support}, "
+        f"{empty} empty)")
     return keep
 
 

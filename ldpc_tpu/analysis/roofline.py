@@ -481,7 +481,7 @@ def speed_of_light_two_phase(
     schedule: str = "layered",
     mode: int = 1,
     track_norm: bool = False,
-    phase1: int,
+    phase1: int | None = None,
     trip_model: dict,
     peak_ops_per_s: float | None = None,
     hbm_bytes_per_s: float = HBM_BYTES_PER_S,
@@ -580,19 +580,31 @@ def measure_tile_trips(code, opts, snr_db: float, *, batches: int = 8):
     from ldpc_tpu.ops.channel import ChannelParams
     from ldpc_tpu.ops.encode import make_encoder_T, random_info_bits
     from ldpc_tpu.ops.mc_pallas import consts_vector, make_mc_decoder
-    from ldpc_tpu.sim.runner import resolve_two_phase, two_phase_trip_model
+    from ldpc_tpu.sim.runner import (
+        resolve_layer_groups,
+        resolve_two_phase,
+        two_phase_trip_model,
+    )
 
     opts = opts.resolved()
     qc = code.qc
+    schedule = opts.schedule or "flooding"
     spec = code.encode_spec(opts.encoding_method, opts.ru_gap)
     info_pos = np.asarray(spec.info_pos("orig"), np.int32)
     encode_T = make_encoder_T(spec, "orig")
+    # the probe kernel must run the EXACT decode-loop configuration whose
+    # ceiling the trip statistics will price: a gated syndrome cadence
+    # quantizes tile exits to check boundaries, and the paired order
+    # changes convergence trajectories (round-4 self-review finding)
     mc_step = make_mc_decoder(
         qc, info_pos, opts.iterations, opts.decoder_variant,
         mode=opts.mode, modulation=opts.modulation,
         alpha=opts.minsum_alpha, beta=opts.minsum_beta,
-        schedule=opts.schedule or "flooding",
+        schedule=schedule,
         track_norm=opts.normalized_llr,
+        msg_store=opts.msg_store,
+        layer_groups=resolve_layer_groups(qc, opts, schedule),
+        check_every=opts.check_every,
     )
     consts = ChannelParams(
         mode=opts.mode, modulation=opts.modulation, speed=opts.speed,
@@ -613,8 +625,9 @@ def measure_tile_trips(code, opts, snr_db: float, *, batches: int = 8):
         # iters is per-codeword but constant within each 128-lane tile
         return jnp.mean(iters[::128].astype(jnp.float32)), conv, ok
 
-    phase1 = resolve_two_phase(opts.two_phase, opts.iterations) or \
-        opts.iterations // 2
+    phase1 = resolve_two_phase(
+        opts.two_phase, opts.iterations, opts.check_every
+    ) or opts.iterations // 2
     tile_iters, models = [], []
     for i in range(batches):
         t, conv, ok = run(jax.random.key(100 + i))

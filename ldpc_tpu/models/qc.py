@@ -77,6 +77,30 @@ class QCLayout:
         return H
 
 
+def qc_orbit_canonical(support, Z: int) -> tuple[int, ...]:
+    """Canonical representative of a support's QC-shift orbit.
+
+    Simultaneously cyclically shifting every length-Z block of a codeword
+    by the same s maps position p -> (p // Z) * Z + (p % Z + s) % Z and
+    preserves codeword-ness; the canonical form is the lexicographically
+    smallest sorted support over all Z shifts. Shared by the
+    undetected-witness study (scripts/undetected_witness.py) and the IS
+    depth harvest (analysis.importance.harvest_failures) so their orbit
+    keys cannot diverge. ``Z <= 1`` returns the sorted support unchanged
+    (non-QC codes have no lift automorphism).
+    """
+    sup = np.asarray(support, np.int64)
+    if Z <= 1:
+        return tuple(int(p) for p in np.sort(sup))
+    blocks, offs = sup // Z, sup % Z
+    best = None
+    for s in range(Z):
+        cand = tuple(int(p) for p in np.sort(blocks * Z + (offs + s) % Z))
+        if best is None or cand < best:
+            best = cand
+    return best
+
+
 def paired_layer_groups(qc: QCLayout) -> list[list[int]]:
     """Greedy pairing of base rows with disjoint base-column support.
 

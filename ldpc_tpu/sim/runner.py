@@ -150,7 +150,13 @@ def two_phase_trip_model(
     """
     trips = np.where(ok, conv.astype(np.int64) + 1, max_iterations)
     if trips.size >= lanes:
-        tiles = trips[: (trips.size // lanes) * lanes].reshape(-1, lanes)
+        # truncate to whole tiles and use the SAME truncated population for
+        # both phases: mixing whole-tile single/phase1 stats with a refeed
+        # drawn from the remainder lanes too would inflate phase2_per_tile
+        # (normalized by the truncated ntiles) and push refeed_tile_frac
+        # past 1 on non-multiple-of-128 probe batches
+        trips = trips[: (trips.size // lanes) * lanes]
+        tiles = trips.reshape(-1, lanes)
     else:
         tiles = trips.reshape(1, -1)
     ntiles = tiles.shape[0]

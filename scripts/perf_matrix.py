@@ -118,7 +118,12 @@ def row_ceiling(code, opts, snr, kernel_used: str) -> dict | None:
         track_norm=False,
         peak_ops_per_s=vpu_peak_ops_per_s(jax.devices()[0].device_kind),
     )
-    two_phase = "2phase" in kernel_used
+    # '+2phase(auto:off)' means the probe DECLINED the split: the run was
+    # single-pass and must get the single-pass ceiling (same regex as
+    # bench.py's gate -- a bare substring test misprices declined cells)
+    import re
+
+    two_phase = bool(re.search(r"\+2phase\((?:auto:)?\d+\)", kernel_used))
     if two_phase:
         phase1 = resolve_two_phase("auto", opts.iterations) or \
             opts.iterations // 2
@@ -133,6 +138,18 @@ def row_ceiling(code, opts, snr, kernel_used: str) -> dict | None:
         "mean_tile_iters": tile_iters,
         "trip_model": trip_model,
     }
+
+
+def _spread_lo(r: dict) -> float:
+    """Row spread floor with fallbacks for resumed pre-round-4 rows (which
+    lack both the mid-window and the min/max fields)."""
+    return r.get("info_bits_per_s_mid_lo",
+                 r.get("info_bits_per_s_min", r["info_bits_per_s"]))
+
+
+def _spread_hi(r: dict) -> float:
+    return r.get("info_bits_per_s_mid_hi",
+                 r.get("info_bits_per_s_max", r["info_bits_per_s"]))
 
 
 def write_readme(out: Path, dev: str, rows, ceilings,
@@ -178,8 +195,7 @@ def write_readme(out: Path, dev: str, rows, ceilings,
             r = d.get(label)
             cells.append(
                 f"{r['info_bits_per_s'] / 1e9:.2f} G "
-                f"[{r.get('info_bits_per_s_mid_lo', r['info_bits_per_s_min']) / 1e9:.2f}–"
-                f"{r.get('info_bits_per_s_mid_hi', r['info_bits_per_s_max']) / 1e9:.2f}] "
+                f"[{_spread_lo(r) / 1e9:.2f}–{_spread_hi(r) / 1e9:.2f}] "
                 f"(FER {r['fer']:.0e})"
                 if r else "—"
             )

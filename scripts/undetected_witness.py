@@ -34,21 +34,12 @@ import numpy as np
 from ldpc_tpu.analysis.failures import collect_failure_patterns
 
 
-def qc_orbit_canonical(support: np.ndarray, Z: int) -> tuple:
-    """Canonical representative of a support's QC-shift orbit.
+def qc_orbit_canonical(support, Z):
+    """Alias of models.qc.qc_orbit_canonical (shared with the IS depth
+    harvest so both studies' orbit keys are identical by construction)."""
+    from ldpc_tpu.models.qc import qc_orbit_canonical as canon
 
-    Shifting every length-Z block of the codeword by the same s maps
-    position p -> (p // Z) * Z + (p % Z + s) % Z; the canonical form is the
-    lexicographically smallest sorted support over all Z shifts.
-    """
-    blocks = support // Z
-    offs = support % Z
-    best = None
-    for s in range(Z):
-        cand = tuple(int(p) for p in sorted(blocks * Z + (offs + s) % Z))
-        if best is None or cand < best:
-            best = cand
-    return best
+    return canon(support, Z)
 
 
 def main() -> int:

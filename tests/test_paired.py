@@ -214,7 +214,7 @@ def test_check_every_census_amortizes():
     c8 = decode_census(qc, "spa", "layered", check_every=8).total()
     assert c8 < c2 < c1
     # syndrome is ~14% of a layered SPA iteration at WiMAX R1/2
-    syn = c1 - c8 * 8 / 7 if False else (c1 - c2) * 2
+    syn = (c1 - c2) * 2
     assert 0.08 * c1 < syn < 0.22 * c1
 
 
