@@ -278,3 +278,37 @@ def test_two_phase_runner_counters_match():
     assert a.conv_iters_sum == b.conv_iters_sum
     assert a.conv_count == b.conv_count
     assert a.norm_llr_sum == b.norm_llr_sum
+
+
+def test_trip_model_remainder_lanes_consistent():
+    """Non-multiple-of-128 probe batches must not inflate the phase-2 term:
+    refeed draws from the same whole-tile population as single/phase1
+    (round-4 self-review finding)."""
+    import numpy as np
+
+    from ldpc_tpu.sim.runner import two_phase_trip_model
+
+    # 200 lanes: one full tile of easy frames + 72 remainder lanes of hard
+    # ones -- the old code let the remainder form a phase-2 group while
+    # normalizing by the single full tile
+    conv = np.concatenate([np.full(128, 2), np.full(72, -1)])
+    ok = conv >= 0
+    m = two_phase_trip_model(conv, ok, phase1=6, max_iterations=12)
+    assert m["refeed_tile_frac"] <= 1.0
+    assert m["phase2_per_tile"] <= 12.0
+    # the truncated population is the easy tile only: no refeed at all
+    assert m["refeed_frac"] == 0.0
+    assert m["single"] == 3.0
+
+
+def test_resolve_two_phase_check_every_boundary():
+    import pytest
+
+    from ldpc_tpu.sim.runner import resolve_two_phase
+
+    assert resolve_two_phase("auto", 12, 2) == 6
+    assert resolve_two_phase("auto", 12, 4) == 4  # rounded down to boundary
+    assert resolve_two_phase("auto", 6, 2) == 0  # too small to split
+    assert resolve_two_phase(6, 12, 2) == 6
+    with pytest.raises(ValueError, match="multiple of"):
+        resolve_two_phase(5, 12, 2)
