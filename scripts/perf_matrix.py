@@ -7,9 +7,9 @@ round-3 items 5+6 extend it:
   (Channel_Codes_Database/Standardized LDPC Codes/ + Custom): wifi_648,
   wigig_672, 802.11ad_672, CCSDS n128/n32, WRAN_N384, ITU G.h n336 --
   alongside the {576, 1152, 2304} x {r1/2, r5/6} WiMAX grid;
-* every cell reports a min/med/max spread over >=3 timed windows (the
-  remote-TPU tunnel swings dispatch throughput; a single-run cell cannot
-  support cross-cell claims);
+* every cell reports the median of 5 timed windows plus the
+  middle-window spread (the remote-TPU tunnel stalls single windows
+  10-50x; a single-run cell cannot support cross-cell claims);
 * every row carries its census speed-of-light ceiling
   (ldpc_tpu.analysis.roofline) at the row's measured mean tile trips, and
   the spa/layered cell's % of it -- the "how fast is fast" column.
