@@ -828,11 +828,12 @@ class PointExecutor:
     # Two-phase dispatch overhead in per-tile loop-trip equivalents: the
     # [n, B] LLR emit + argsort + two [n, B] gathers + the second kernel
     # launch, expressed in units of one decode iteration of one tile.
-    # Calibrated on the flagship envelope (examples/two_phase_envelope):
-    # the implied overhead measured at 5 operating points (0-3.5 dB) spans
-    # 0.84-2.57 trips; 2.0 is the conservative choice (prefers single-pass
-    # on the margin, so 'auto' never loses more than the probe's own noise
-    # -- measured worst case auto/off = 1.001, best 1.08).
+    # Calibrated on the flagship envelope (examples/two_phase_envelope,
+    # both the round-3 serial and round-4 paired+ce2 runs): the implied
+    # overhead across the decided points brackets at ~0.2-2.9 sweeps; 2.0
+    # is the conservative choice (prefers single-pass on the margin, so
+    # 'auto' never loses more than the probe's own noise -- where it
+    # declines, it runs the byte-identical single-pass kernel).
     TWO_PHASE_OVERHEAD_TRIPS = 2.0
 
     def _decide_two_phase(self, conv: np.ndarray, ok: np.ndarray) -> bool:

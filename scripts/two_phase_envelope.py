@@ -45,6 +45,9 @@ def main() -> int:
     base = dict(
         matrix=code.name, blocks=batch, iterations=12, ber=True, fer=True,
         fidelity="exact", batch=batch, seed=0, speed=0.5, schedule="layered",
+        # round-4 production config (bench.py): the envelope must validate
+        # the auto gate for the dispatch the headline actually runs
+        layer_order="paired", check_every=2,
     )
     execs = {
         tp: PointExecutor(code, SimOptions(two_phase=tp, **base))
