@@ -514,10 +514,14 @@ def speed_of_light_two_phase(
     scalar key compares amortized per frame -- < 100 element-ops against a
     ~10^6-op frame, below the model's resolution, and is not counted.
 
-    HBM bytes per frame (f32 columns of length n): w read (both kernels),
-    emit write, sort gather read+write for llr and w, phase-2 llr read --
-    8 x 4n. At WiMAX (1152, 576) that is ~37 KB/frame = ~45 ns at 819 GB/s,
-    under the compute term; it is reported so the max() is auditable.
+    HBM bytes per frame (f32 columns of length n): 6 full streams -- phase-1
+    w read, emit write, sort gather read+write for llr and w -- plus the two
+    phase-2 input streams (llr + w reads) which only materialize for the
+    ``refeed_tile_frac`` of tiles that actually re-enter the kernel:
+    (6 + 2 x refeed_tile_frac) x 4n. At WiMAX (1152, 576) that is ~30 KB/frame
+    = ~37 ns at 819 GB/s, under the compute term; it is reported so the
+    max() is auditable. (Round-4 ADVICE: charging all 8 streams to every
+    frame overstated t_mem by up to ~25%.)
     """
     per_iter = decode_census(qc, variant, schedule, track_norm,
                              check_every=check_every)
@@ -533,7 +537,7 @@ def speed_of_light_two_phase(
     )
     peak = peak_ops_per_s or vpu_peak_ops_per_s()
     t_compute = frame.total() / peak
-    hbm_bytes = 8 * 4 * qc.n
+    hbm_bytes = (6 + 2 * trip_model["refeed_tile_frac"]) * 4 * qc.n
     t_mem = hbm_bytes / hbm_bytes_per_s
     t_frame = max(t_compute, t_mem)
     out = {
@@ -625,9 +629,15 @@ def measure_tile_trips(code, opts, snr_db: float, *, batches: int = 8):
         # iters is per-codeword but constant within each 128-lane tile
         return jnp.mean(iters[::128].astype(jnp.float32)), conv, ok
 
+    # Fallback split when the config resolves to no split (two_phase='off',
+    # or auto rounded down): price a HYPOTHETICAL iterations//2 split, rounded
+    # down to a check_every boundary so the priced phase-1 budget is one the
+    # kernel could actually run (round-4 ADVICE: an off-boundary split has no
+    # executable counterpart). Floor at one cadence window.
+    ce = max(1, opts.check_every)
     phase1 = resolve_two_phase(
         opts.two_phase, opts.iterations, opts.check_every
-    ) or opts.iterations // 2
+    ) or max(ce, (opts.iterations // 2) // ce * ce)
     tile_iters, models = [], []
     for i in range(batches):
         t, conv, ok = run(jax.random.key(100 + i))

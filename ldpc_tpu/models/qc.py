@@ -113,8 +113,12 @@ def paired_layer_groups(qc: QCLayout) -> list[list[int]]:
     chains to interleave (ILP doubling on the serial bottleneck).
 
     Returns groups of 1-2 row indices covering every base row exactly once.
-    Pairing is deterministic (fewest-candidates-first greedy, ties by
-    index); low-rate protographs (802.16e R1/2, WiGig R1/2: row degree ~6-7
+    Pairing is deterministic: rows are visited in a STATIC
+    fewest-candidates ordering (adjacency counts computed once up front,
+    not re-counted as rows are consumed, so the heuristic is approximate --
+    a dynamic greedy could pair more rows on some codes; disjointness and
+    determinism are what the kernel requires and both hold exactly), ties
+    by index. Low-rate protographs (802.16e R1/2, WiGig R1/2: row degree ~6-7
     of 24/16 base columns) pair fully, high-rate ones (R5/6: degree ~20 of
     24) stay serial. The FLATTENED group order is a valid serial layered
     schedule with identical arithmetic (ldpc_tpu.ops.layered accepts it as

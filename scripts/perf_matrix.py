@@ -185,7 +185,9 @@ def write_readme(out: Path, dev: str, rows, ceilings,
         "|---|---|---|---|" + "---|" * (len(CONFIGS) + 2),
     ]
     by_code: dict[str, dict] = {}
-    for r in rows:
+    canon = [c[0] for c in CODES]
+    for r in sorted(rows, key=lambda r: canon.index(r["code"])
+                    if r["code"] in canon else len(canon)):
         by_code.setdefault(
             r["code"], {"snr": r["snr_db"], "n": r["n"], "rate": r["rate"]}
         )[r["config"]] = r
@@ -239,19 +241,21 @@ def main() -> int:
         codes = [c for c in CODES if c[0] in keep]
 
     # resume-friendly: keep committed rows for codes this invocation skips
-    # (tunnel errors kill long runs; rerun with --codes for the remainder)
-    rows = []
+    # (tunnel errors kill long runs; rerun with --codes for the remainder).
+    # A code's OLD rows are only dropped at the moment its NEW rows land
+    # (round-4 ADVICE: pre-filtering meant the first incremental flush
+    # permanently lost the old rows of every not-yet-rerun code).
+    rows: list[dict] = []
     ceilings: dict[str, dict] = {}
     prev = out / "results.json"
     if prev.is_file():
         old = json.loads(prev.read_text())
-        names = {c[0] for c in codes}
-        rows = [r for r in old.get("rows", []) if r["code"] not in names]
-        ceilings = {k: v for k, v in old.get("ceilings", {}).items()
-                    if k not in names}
+        rows = list(old.get("rows", []))
+        ceilings = dict(old.get("ceilings", {}))
     for name, snr0 in codes:
         code = load_code(f"builtin:{name}")
         snr, probe_fer = probe_operating_point(code, snr0, args.batch)
+        code_rows: list[dict] = []
         for label, decoder, schedule, iters, alpha in CONFIGS:
             ex = make_executor(code, decoder, schedule, iters, alpha,
                                args.batch)
@@ -280,7 +284,7 @@ def main() -> int:
                 "info_bits_per_s_mid_hi": frame_bits / hi_t,
                 "window_times_s": windows,
             }
-            rows.append(row)
+            code_rows.append(row)
             print(
                 f"{code.name:38s} {label:16s} @ {snr:.2f} dB "
                 f"kernel={ex.kernel_used} FER={fer:.2e} "
@@ -302,6 +306,8 @@ def main() -> int:
                         f"-> {ceil['pct_of_ceiling']}% of light",
                         flush=True,
                     )
+        # this code finished all configs: NOW replace its old rows
+        rows = [r for r in rows if r["code"] != code.name] + code_rows
         # incremental flush so a killed run keeps finished rows
         (out / "results.json").write_text(json.dumps(
             {"device": dev, "n_windows": args.n_windows,
