@@ -70,6 +70,55 @@ def measure_point(executor, code, snr_db, *, batch, n_batches, n_windows,
     return median, window_times, fer, codewords * code.k / median
 
 
+def measure_paired(configs, *, batch, n_batches, n_rounds=5,
+                   warmup_batches=None, key=None):
+    """PAIRED A/B window timing: interleave every config's timed windows
+    within one session (VERDICT round-4 item 6).
+
+    ``configs``: list of ``(label, executor, snr_db)``. Each round times one
+    window per config back-to-back, so a per-round ratio between two
+    configs compares dispatches measured seconds apart -- immune to the
+    remote-TPU tunnel's slow drift and to the 10-50x single-window stall
+    tail (a stall hits ONE window of ONE config in ONE round; the median
+    per-round ratio survives it). Unpaired designs (time all of A, then
+    all of B) cannot distinguish a few-percent dispatch delta from drift.
+
+    Returns ``{label: [t_round0, t_round1, ...]}`` in round order (NOT
+    sorted -- pairing is positional).
+    """
+    import jax
+
+    if key is None:
+        key = jax.random.key(0)
+    if warmup_batches is None:
+        warmup_batches = n_batches
+    for i, (label, ex, snr) in enumerate(configs):
+        ex.run_point(snr, batch * warmup_batches,
+                     jax.random.fold_in(key, 7000 + i), 0)
+    times = {label: [] for label, _, _ in configs}
+    for r in range(n_rounds):
+        for i, (label, ex, snr) in enumerate(configs):
+            t0 = time.perf_counter()
+            ex.run_point(snr, batch * n_batches,
+                         jax.random.fold_in(key, r * 97 + i), r)
+            times[label].append(time.perf_counter() - t0)
+    return times
+
+
+def paired_ratio(times_a, times_b):
+    """Median per-round ratio t_a/t_b with the middle-round spread.
+
+    Returns ``(median, lo, hi)`` over per-round ratios (one outlier round
+    dropped per side when >= 4 rounds)."""
+    import numpy as np
+
+    r = np.sort(np.asarray(times_a) / np.asarray(times_b))
+    med = float(np.median(r))
+    if len(r) >= 4:
+        return med, float(r[1]), float(r[-2])
+    return med, float(r[0]), float(r[-1])
+
+
 def main() -> int:
     import jax
 

@@ -175,6 +175,17 @@ Examples:
                              "windows (conv_iter reports the check "
                              "iteration); requires N | iterations and no "
                              "--normalized-llr")
+    parser.add_argument("--sublane-groups", type=str, default="auto",
+                        dest="sublane_groups", metavar="{auto,N}",
+                        help="Sublane grouping in the Pallas decode loops: "
+                             "G stacks G independent 128-codeword groups "
+                             "into the sublane dimension (per-codeword "
+                             "counters bit-identical to G=1; tile "
+                             "early-exit coarsens to G*128 codewords). "
+                             "Measured at -16%%..+6%% on v5e "
+                             "(examples/sublane_fill), so 'auto' = 1; "
+                             "set an explicit G only to re-run that "
+                             "experiment")
     parser.add_argument("--minsum-alpha", type=_parse_alpha, default=0.75,
                         help="Normalized min-sum scale factor, or a "
                              "comma-separated per-iteration schedule (e.g. a "
@@ -268,6 +279,7 @@ def options_from_args(args: argparse.Namespace) -> SimOptions:
         layer_order=args.layer_order,
         check_every=args.check_every,
         msg_store=args.msg_store,
+        sublane_groups=args.sublane_groups,
         shorten=args.shorten,
         puncture=args.puncture,
         target_errors=args.target_errors,

@@ -52,7 +52,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ldpc_tpu.models.qc import QCLayout
 from ldpc_tpu.ops.metrics import BlockStats
-from ldpc_tpu.ops.spa_pallas import VMEM_BUDGET, make_decode_loop
+from ldpc_tpu.ops.spa_pallas import (
+    VMEM_BUDGET,
+    make_decode_loop,
+    stack_groups,
+    ungroup_rows,
+    unstack_groups,
+)
 
 TWO_PI = 2.0 * math.pi
 _U24 = float(2.0**-24)
@@ -153,6 +159,7 @@ def make_mc_decoder(
     msg_store: str = "f32",
     layer_groups: list[list[int]] | None = None,
     check_every: int = 1,
+    sublane_groups: int = 1,
 ):
     """Build ``mc_step(wT, consts_vec, seeds[, raw][, skip]) -> BlockStats-like``.
 
@@ -176,6 +183,17 @@ def make_mc_decoder(
     bits by :func:`make_llr_decoder`, which replays the identical per-lane
     trajectory (every decode op is lane-wise). ``debug_llr`` is the test
     variant of the same output, restricted to the injected-noise source.
+
+    ``sublane_groups=G`` stacks G codeword groups into the sublane
+    dimension (the small-Z utilization lever -- see
+    spa_pallas.make_decode_loop). The wrapper's [n, B] / per-codeword
+    surfaces are unchanged: inputs re-layout via ``stack_groups`` and
+    outputs via ``unstack_groups``/``ungroup_rows`` (XLA reshapes, once
+    per dispatch); within-block counter sums move to XLA. Per-codeword
+    results stay bit-identical to G=1 in the injected-noise source; the
+    hw source draws DIFFERENT noise per (tile, plane) geometry, so hw
+    counters at G>1 equal G=1 statistically, not bitwise. Requires
+    ``track_norm=False``.
     """
     variant = variant.lower().replace("-", "_")
     if variant not in ("spa", "minsum", "normalized_minsum", "offset_minsum"):
@@ -199,15 +217,23 @@ def make_mc_decoder(
     amp = 1.0 if modulation == 1 else 0.7  # channel.py:49-51
     draws = DRAWS_PER_BIT[mode]
     hw = noise_source == "hw"
+    G = int(sublane_groups)
+    GZ = G * Z  # stacked block height; == Z at G=1 (the original layout)
+    RS = 1 if G == 1 else GZ  # row-output sublanes
 
     info_mask = np.zeros((n, 1), dtype=np.float32)
     info_mask[np.asarray(info_pos, dtype=np.int64), 0] = 1.0
+    mask_np = (
+        info_mask if G == 1
+        else np.tile(info_mask.reshape(nb, 1, Z, 1), (1, G, 1, 1))
+        .reshape(n * G, 1)
+    )
 
     loop = make_decode_loop(
         qc, max_iterations, variant, alpha=alpha, beta=beta,
         tile_b=tile_b, schedule=schedule, k=k, track_norm=track_norm,
         msg_store=msg_store, layer_groups=layer_groups,
-        check_every=check_every,
+        check_every=check_every, sublane_groups=G,
     )
     e_dtype = jnp.int8 if msg_store == "int8" else jnp.float32
 
@@ -280,16 +306,16 @@ def make_mc_decoder(
             pltpu.prng_seed(seeds_ref[0] + tile_mix, seeds_ref[1])
 
         def x_blk(j):
-            return w_ref[pl.ds(j * Z, Z), :]
+            return w_ref[pl.ds(j * GZ, GZ), :]
 
         if hw:
             def get(d, bj):
                 return pltpu.bitcast(
-                    pltpu.prng_random_bits((Z, TB)), jnp.uint32
+                    pltpu.prng_random_bits((GZ, TB)), jnp.uint32
                 )
         else:
             def get(d, bj):
-                return raw_in[d, pl.ds(bj * Z, Z), :]
+                return raw_in[d, pl.ds(bj * GZ, GZ), :]
 
         # ---- channel: fill the LLR scratch, two base columns per draw ----
         channel_fill(x_blk, get, llr_ref, c)
@@ -300,10 +326,10 @@ def make_mc_decoder(
             # two-phase dispatch (and tests needing strict decode
             # bit-identity) must consume these
             for bj in range(nb):
-                dllr_ref[pl.ds(bj * Z, Z), :] = llr_ref[bj]
+                dllr_ref[pl.ds(bj * GZ, GZ), :] = llr_ref[bj]
 
         def mask_blk(j):
-            return mask_ref[pl.ds(j * Z, Z), :]
+            return mask_ref[pl.ds(j * GZ, GZ), :]
 
         it, done_f, conv, norm = loop(
             lambda j: llr_ref[j], mask_blk, E_ref, L_ref, prior_ref,
@@ -311,11 +337,16 @@ def make_mc_decoder(
         )
 
         # ---- counters: info-bit mismatches vs the transmitted word ----
-        err = jnp.zeros((1, TB), jnp.float32)
+        # G=1: reduced over sublanes in-kernel; G>1: per-row partials only
+        # (ungroup_rows finishes the within-block sum in XLA)
+        err = jnp.zeros((1, TB) if G == 1 else (GZ, TB), jnp.float32)
         for bj in range(nb):
             est = (L_ref[bj] < 0).astype(jnp.float32)
             neq = (est != x_blk(bj)).astype(jnp.float32)
-            err = err + jnp.sum(neq * mask_blk(bj), axis=0, keepdims=True)
+            if G == 1:
+                err = err + jnp.sum(neq * mask_blk(bj), axis=0, keepdims=True)
+            else:
+                err = err + neq * mask_blk(bj)
 
         err_ref[:] = err
         ok_ref[:] = done_f
@@ -324,17 +355,20 @@ def make_mc_decoder(
         iters_ref[:] = jnp.full((1, TB), it, jnp.int32)
 
     grid_kernel = functools.partial(pl.pallas_call, kernel, interpret=interpret)
-    mask_const = jnp.asarray(info_mask)
+    mask_const = jnp.asarray(mask_np)
 
     def mc_step(wT: jax.Array, consts_vec: jax.Array, seeds: jax.Array,
                 raw: jax.Array | None = None,
                 skip: jax.Array | None = None):
         B = wT.shape[1]
-        Bp = -(-B // tile_b) * tile_b
+        Bp = -(-B // (G * tile_b)) * (G * tile_b)
         w = wT.astype(jnp.float32)
         if Bp != B:
             w = jnp.pad(w, ((0, 0), (0, Bp - B)))
-        grid = (Bp // tile_b,)
+        if G > 1:
+            w = stack_groups(w, Z, G, tile_b)
+        Bl = Bp // G  # kernel lane extent (grouped layout)
+        grid = (Bl // tile_b,)
         skip_arr = (
             jnp.zeros((1,), jnp.int32) if skip is None
             else jnp.asarray(skip, jnp.int32).reshape((1,))
@@ -344,8 +378,8 @@ def make_mc_decoder(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # consts [8]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seeds [2]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # skip [1]
-            pl.BlockSpec((n, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n * G, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n * G, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ]
         args = [consts_vec.astype(jnp.float32), seeds.astype(jnp.int32),
                 skip_arr, w, mask_const]
@@ -355,57 +389,80 @@ def make_mc_decoder(
             rawp = raw
             if Bp != B:
                 rawp = jnp.pad(raw, ((0, 0), (0, 0), (0, Bp - B)))
+            if G > 1:
+                rawp = jax.vmap(
+                    lambda p: stack_groups(p, Z, G, tile_b)
+                )(rawp)
             in_specs.append(
-                pl.BlockSpec((draws, n, tile_b), lambda b: (0, 0, b),
+                pl.BlockSpec((draws, n * G, tile_b), lambda b: (0, 0, b),
                              memory_space=pltpu.VMEM)
             )
             args.append(rawp)
 
-        out_row = lambda dt: jax.ShapeDtypeStruct((1, Bp), dt)
+        out_row = lambda dt: jax.ShapeDtypeStruct((RS, Bl), dt)
         out_specs = [
+            pl.BlockSpec((RS, tile_b), lambda b: (0, b),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ] + [
             pl.BlockSpec((1, tile_b), lambda b: (0, b),
                          memory_space=pltpu.VMEM)
-            for _ in range(5)
         ]
         out_shape = [
             out_row(jnp.float32),
             out_row(jnp.float32),
             out_row(jnp.int32),
             out_row(jnp.float32),
-            out_row(jnp.int32),
+            jax.ShapeDtypeStruct((1, Bl), jnp.int32),
         ]
         if emit:
             out_specs.append(
-                pl.BlockSpec((n, tile_b), lambda b: (0, b),
+                pl.BlockSpec((n * G, tile_b), lambda b: (0, b),
                              memory_space=pltpu.VMEM)
             )
-            out_shape.append(jax.ShapeDtypeStruct((n, Bp), jnp.float32))
+            out_shape.append(jax.ShapeDtypeStruct((n * G, Bl), jnp.float32))
         outs = grid_kernel(
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[
-                pltpu.VMEM((mb, dcb, Z, tile_b), e_dtype),  # E
-                pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # L
+                pltpu.VMEM((mb, dcb, GZ, tile_b), e_dtype),  # E
+                pltpu.VMEM((nb, GZ, tile_b), jnp.float32),  # L
             ] + (
-                [pltpu.VMEM((nb, Z, tile_b), jnp.float32)]  # prior
+                [pltpu.VMEM((nb, GZ, tile_b), jnp.float32)]  # prior
                 if track_norm else []
             ) + [
-                pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # llr
+                pltpu.VMEM((nb, GZ, tile_b), jnp.float32),  # llr
             ],
         )(*args)
         err, ok_f, conv, norm, iters = outs[:5]
 
+        if G > 1:
+            err_row = ungroup_rows(err, Z, G, tile_b, reduce="sum")
+            ok_row = ungroup_rows(ok_f, Z, G, tile_b)
+            conv_row = ungroup_rows(conv, Z, G, tile_b)
+            norm_row = ungroup_rows(norm, Z, G, tile_b)
+            T = Bl // tile_b
+            it_row = jnp.broadcast_to(
+                iters.reshape(T, 1, tile_b), (T, G, tile_b)
+            ).reshape(Bp)
+        else:
+            err_row, ok_row, conv_row = err[0], ok_f[0], conv[0]
+            norm_row, it_row = norm[0], iters[0]
+
         result = (
-            err[0, :B].astype(jnp.int32),
-            ok_f[0, :B] > 0,
-            conv[0, :B],
-            norm[0, :B],
-            iters[0, :B],
+            err_row[:B].astype(jnp.int32),
+            ok_row[:B] > 0,
+            conv_row[:B],
+            norm_row[:B],
+            it_row[:B],
         )
         if emit:
-            result = result + (outs[5][:, :B],)
+            dllr = outs[5]
+            if G > 1:
+                dllr = unstack_groups(dllr, Z, G, tile_b)
+            result = result + (dllr[:, :B],)
         return result
 
     return mc_step
@@ -426,6 +483,7 @@ def make_llr_decoder(
     msg_store: str = "f32",
     layer_groups: list[list[int]] | None = None,
     check_every: int = 1,
+    sublane_groups: int = 1,
 ):
     """Decode-from-LLRs with in-kernel counters and a per-lane pre-done mask.
 
@@ -457,15 +515,23 @@ def make_llr_decoder(
     row_slots = qc.row_slots()
     dcb = max((len(r) for r in row_slots), default=1)
     k = int(np.asarray(info_pos).shape[0])
+    G = int(sublane_groups)
+    GZ = G * Z
+    RS = 1 if G == 1 else GZ
 
     info_mask = np.zeros((n, 1), dtype=np.float32)
     info_mask[np.asarray(info_pos, dtype=np.int64), 0] = 1.0
+    mask_np = (
+        info_mask if G == 1
+        else np.tile(info_mask.reshape(nb, 1, Z, 1), (1, G, 1, 1))
+        .reshape(n * G, 1)
+    )
 
     loop = make_decode_loop(
         qc, max_iterations, variant, alpha=alpha, beta=beta,
         tile_b=tile_b, schedule=schedule, k=k, track_norm=track_norm,
         msg_store=msg_store, layer_groups=layer_groups,
-        check_every=check_every,
+        check_every=check_every, sublane_groups=G,
     )
     e_dtype = jnp.int8 if msg_store == "int8" else jnp.float32
 
@@ -475,24 +541,27 @@ def make_llr_decoder(
         TB = tile_b
 
         def llr_blk(j):
-            return llr_ref[pl.ds(j * Z, Z), :]
+            return llr_ref[pl.ds(j * GZ, GZ), :]
 
         def mask_blk(j):
-            return mask_ref[pl.ds(j * Z, Z), :]
+            return mask_ref[pl.ds(j * GZ, GZ), :]
 
         def x_blk(j):
-            return w_ref[pl.ds(j * Z, Z), :]
+            return w_ref[pl.ds(j * GZ, GZ), :]
 
         it, done_f, conv, norm = loop(
             llr_blk, mask_blk, E_ref, L_ref, prior_ref,
             skip_f=done_ref[:],
         )
 
-        err = jnp.zeros((1, TB), jnp.float32)
+        err = jnp.zeros((1, TB) if G == 1 else (GZ, TB), jnp.float32)
         for bj in range(nb):
             est = (L_ref[bj] < 0).astype(jnp.float32)
             neq = (est != x_blk(bj)).astype(jnp.float32)
-            err = err + jnp.sum(neq * mask_blk(bj), axis=0, keepdims=True)
+            if G == 1:
+                err = err + jnp.sum(neq * mask_blk(bj), axis=0, keepdims=True)
+            else:
+                err = err + neq * mask_blk(bj)
 
         err_ref[:] = err
         ok_ref[:] = done_f
@@ -501,11 +570,11 @@ def make_llr_decoder(
         iters_ref[:] = jnp.full((1, TB), it, jnp.int32)
 
     grid_kernel = functools.partial(pl.pallas_call, kernel, interpret=interpret)
-    mask_const = jnp.asarray(info_mask)
+    mask_const = jnp.asarray(mask_np)
 
     def llr_step(llrT: jax.Array, wT: jax.Array, done0: jax.Array):
         B = llrT.shape[1]
-        Bp = -(-B // tile_b) * tile_b
+        Bp = -(-B // (G * tile_b)) * (G * tile_b)
         llr = llrT.astype(jnp.float32)
         w = wT.astype(jnp.float32)
         # padded lanes pre-done: tiles made purely of padding never iterate
@@ -514,39 +583,63 @@ def make_llr_decoder(
             llr = jnp.pad(llr, ((0, 0), (0, Bp - B)))
             w = jnp.pad(w, ((0, 0), (0, Bp - B)))
             d = jnp.pad(d, ((0, 0), (0, Bp - B)), constant_values=1.0)
-        grid = (Bp // tile_b,)
+        Bl = Bp // G
+        if G > 1:
+            llr = stack_groups(llr, Z, G, tile_b)
+            w = stack_groups(w, Z, G, tile_b)
+            # done rows broadcast per group block: row g*Z+z of lane
+            # column t*TB+l pre-marks codeword t*G*TB + g*TB + l
+            T = Bl // tile_b
+            d = jnp.broadcast_to(
+                d.reshape(T, G, 1, tile_b), (T, G, Z, tile_b)
+            ).transpose(1, 2, 0, 3).reshape(GZ, Bl)
+        grid = (Bl // tile_b,)
 
-        out_row = lambda dt: jax.ShapeDtypeStruct((1, Bp), dt)
-        row_spec = pl.BlockSpec((1, tile_b), lambda b: (0, b),
+        out_row = lambda dt: jax.ShapeDtypeStruct((RS, Bl), dt)
+        row_spec = pl.BlockSpec((RS, tile_b), lambda b: (0, b),
                                 memory_space=pltpu.VMEM)
+        iters_spec = pl.BlockSpec((1, tile_b), lambda b: (0, b),
+                                  memory_space=pltpu.VMEM)
         err, ok_f, conv, norm, iters = grid_kernel(
             grid=grid,
             in_specs=[
-                pl.BlockSpec((n, tile_b), lambda b: (0, b),
+                pl.BlockSpec((n * G, tile_b), lambda b: (0, b),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, tile_b), lambda b: (0, b),
+                pl.BlockSpec((n * G, tile_b), lambda b: (0, b),
                              memory_space=pltpu.VMEM),
                 row_spec,
-                pl.BlockSpec((n, 1), lambda b: (0, 0),
+                pl.BlockSpec((n * G, 1), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[row_spec] * 5,
+            out_specs=[row_spec] * 4 + [iters_spec],
             out_shape=[
                 out_row(jnp.float32),
                 out_row(jnp.float32),
                 out_row(jnp.int32),
                 out_row(jnp.float32),
-                out_row(jnp.int32),
+                jax.ShapeDtypeStruct((1, Bl), jnp.int32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((mb, dcb, Z, tile_b), e_dtype),  # E
-                pltpu.VMEM((nb, Z, tile_b), jnp.float32),  # L
+                pltpu.VMEM((mb, dcb, GZ, tile_b), e_dtype),  # E
+                pltpu.VMEM((nb, GZ, tile_b), jnp.float32),  # L
             ] + (
-                [pltpu.VMEM((nb, Z, tile_b), jnp.float32)]  # prior
+                [pltpu.VMEM((nb, GZ, tile_b), jnp.float32)]  # prior
                 if track_norm else []
             ),
         )(w, llr, d, mask_const)
 
+        if G > 1:
+            T = Bl // tile_b
+            return (
+                ungroup_rows(err, Z, G, tile_b, reduce="sum")[:B]
+                .astype(jnp.int32),
+                ungroup_rows(ok_f, Z, G, tile_b)[:B] > 0,
+                ungroup_rows(conv, Z, G, tile_b)[:B],
+                ungroup_rows(norm, Z, G, tile_b)[:B],
+                jnp.broadcast_to(
+                    iters.reshape(T, 1, tile_b), (T, G, tile_b)
+                ).reshape(Bp)[:B],
+            )
         return (
             err[0, :B].astype(jnp.int32),
             ok_f[0, :B] > 0,
@@ -561,38 +654,48 @@ def make_llr_decoder(
 def mc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
                   tile_b: int = 128, noise_source: str = "hw",
                   mode: int = 1, track_norm: bool = True,
-                  msg_store: str = "f32", emit_llr: bool = False) -> int:
+                  msg_store: str = "f32", emit_llr: bool = False,
+                  sublane_groups: int = 1) -> int:
     """Resident VMEM of the fused MC kernel (scratch + blocks) per grid step.
 
     ``emit_llr=True`` adds the [n, lanes] LLR output block (two-phase
     dispatch); the same accounting also bounds :func:`make_llr_decoder`
     (its llr INPUT block replaces the emit output, its done row is noise).
+    ``sublane_groups=G`` scales every per-column buffer and block by G
+    (the grouped layout stacks G Z-blocks per array).
     """
     lanes = max(tile_b, 128)
+    G = max(int(sublane_groups), 1)
+    GZ = G * qc.Z
     row_slots = qc.row_slots()
     dcb = max((len(r) for r in row_slots), default=1)
     nbuf = 3 if track_norm else 2  # L (+ prior), llr
     if msg_store == "int8":
-        z_pad = -(-qc.Z // 32) * 32  # int8 sublane tile is 32 rows
+        z_pad = -(-GZ // 32) * 32  # int8 sublane tile is 32 rows
         e_bytes = 1 * lanes * qc.mb * dcb * z_pad
     else:
-        e_bytes = 4 * lanes * qc.Z * qc.mb * dcb
-    scratch = e_bytes + 4 * lanes * qc.Z * nbuf * qc.nb
-    io = 4 * lanes * qc.n  # w block
+        e_bytes = 4 * lanes * GZ * qc.mb * dcb
+    scratch = e_bytes + 4 * lanes * GZ * nbuf * qc.nb
+    io = 4 * lanes * qc.n * G  # w block
     if emit_llr:
-        io += 4 * lanes * qc.n  # llr output block
+        io += 4 * lanes * qc.n * G  # llr output block
     if noise_source == "input":
-        io += 4 * lanes * qc.n * DRAWS_PER_BIT[mode]
-    mask = 4 * 128 * qc.n
+        io += 4 * lanes * qc.n * G * DRAWS_PER_BIT[mode]
+    # x2: the pallas pipeline double-buffers I/O blocks across grid steps
+    # (validated against the wifi_648 G=4 scoped-vmem OOM)
+    io *= 2
+    mask = 4 * 128 * qc.n * G
     return scratch + io + mask
 
 
 def mc_kernel_fits(qc: QCLayout, schedule: str = "flooding",
                    tile_b: int = 128, noise_source: str = "hw",
                    mode: int = 1, track_norm: bool = True,
-                   msg_store: str = "f32", emit_llr: bool = False) -> bool:
+                   msg_store: str = "f32", emit_llr: bool = False,
+                   sublane_groups: int = 1) -> bool:
     return mc_vmem_bytes(qc, schedule, tile_b, noise_source, mode,
-                         track_norm, msg_store, emit_llr) <= VMEM_BUDGET
+                         track_norm, msg_store, emit_llr,
+                         sublane_groups) <= VMEM_BUDGET
 
 
 def channel_llr_reference(

@@ -135,6 +135,17 @@ class SimOptions:
     # scratch -- a VMEM-capacity knob, measured slightly slower since the
     # kernel is VPU-issue-bound)
     msg_store: str = "f32"  # 'f32' | 'int8'
+    # sublane grouping in the Pallas decode loops: G stacks G independent
+    # 128-codeword groups into the sublane dimension (the round-4 small-Z
+    # underfill hypothesis). Measured and FALSIFIED on v5e
+    # (examples/sublane_fill: -16%..+6% across Z in {4, 14, 16}; the
+    # coupled tile exit and the grouped roll's 3x element cost eat the
+    # register-fill gain), so 'auto' always resolves to 1 and the lever
+    # stays explicit-only. Per-codeword counters are bit-identical to
+    # G=1 (tests/test_sublane_groups.py); what changes is tile-exit
+    # granularity (one kernel tile waits for G*128 codewords) and the
+    # hw-PRNG draw geometry (part of the checkpoint fingerprint).
+    sublane_groups: str | int = "auto"
     seed: int = 0
     exact_ber: bool = False  # also count undetected-error bits (not just failed frames)
     # scalar, or a per-iteration schedule (tuple) -- e.g. a learned one
@@ -185,6 +196,22 @@ class SimOptions:
                 "--check-every > 1 is incompatible with --normalized-llr "
                 "(the flip metric is defined per iteration)"
             )
+        if self.sublane_groups != "auto":
+            try:
+                g = int(self.sublane_groups)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    "--sublane-groups must be 'auto' or a positive "
+                    f"integer: {self.sublane_groups!r}"
+                ) from None
+            if g < 1:
+                raise ValueError(f"--sublane-groups must be >= 1: {g}")
+            if g > 1 and self.normalized_llr:
+                raise ValueError(
+                    "--sublane-groups > 1 is incompatible with "
+                    "--normalized-llr (no exact within-block rotate-reduce "
+                    "for the flip sum)"
+                )
         exact = self.fidelity == "exact"
         return replace(
             self,

@@ -86,6 +86,9 @@ class SimulationConfig:
     fused: str = "auto"
     layer_order: str = "serial"
     check_every: int = 1
+    # sublane grouping ('auto' or int as given): at G>1 the hw-PRNG draw
+    # geometry changes, so the RESOLVED G is part of the sweep fingerprint
+    sublane_groups: str = "auto"
 
 
 @dataclass

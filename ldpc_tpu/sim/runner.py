@@ -177,6 +177,57 @@ def two_phase_trip_model(
     }
 
 
+def resolve_sublane_groups(qc, opts, fits=None) -> int:
+    """Sublane-group count G for the Pallas decode loops (1 = off).
+
+    G stacks G independent 128-codeword groups into the sublane dimension
+    (spa_pallas.make_decode_loop), built as the round-4 small-Z
+    utilization hypothesis: a code with lift Z < 8 leaves most of every
+    8-sublane vector register empty, so grouping to G*Z in [64, 128]
+    should fill the registers and amortize ALU latency.
+
+    The hypothesis was MEASURED AND FALSIFIED (examples/sublane_fill,
+    paired A/B windows on v5e): across Z in {4, 14, 16} and G up to 64,
+    grouping moves throughput by -16%..+6% -- the register-fill gain is
+    eaten by the coupled tile exit (one tile now waits for all G*128
+    codewords, pushing mean trips toward the full budget) and by the
+    grouped roll's 3x element cost. The small-code binder is per-batch
+    dispatch overhead, not sublane underfill (examples/sublane_fill
+    binder experiment), and the productive lever is a larger device
+    batch. 'auto' therefore always resolves to 1; the grouped kernels
+    stay available behind an explicit --sublane-groups N (bit-identical
+    per-codeword counters, tests/test_sublane_groups.py) for future
+    hardware where the tradeoff may differ.
+
+    ``fits(G) -> bool`` gates an explicit G on the caller's VMEM plan
+    (approximate at G > 1: Mosaic's scoped-vmem accounting includes
+    kernel temporaries the plan cannot see, so a fitting-by-plan G may
+    still OOM at compile -- the error is loud and the fix is a smaller
+    G). Grouping requires track_norm off.
+    """
+    sel = getattr(opts, "sublane_groups", "auto")
+    if qc is None:
+        if sel not in ("auto", 1, "1"):
+            raise ValueError(
+                "--sublane-groups > 1 requires a quasi-cyclic code"
+            )
+        return 1
+    if sel == "auto":
+        return 1
+    G = int(sel)
+    if G > 1 and opts.normalized_llr:
+        raise ValueError(
+            "--sublane-groups > 1 is incompatible with --normalized-llr"
+        )
+    if G > 1 and fits is not None and not fits(G):
+        raise ValueError(
+            f"--sublane-groups {G}: the grouped kernel layout exceeds the "
+            "VMEM plan for this code (spa_pallas.qc_vmem_bytes / "
+            "mc_pallas.mc_vmem_bytes); use a smaller G or 'auto'"
+        )
+    return G
+
+
 def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
     """Pick the decode kernel: the fused QC Pallas kernel when the code is
     quasi-cyclic and the configuration supports it, else the XLA decoder.
@@ -262,6 +313,17 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
             "check_rule='exact', decode_graph='orig', SPA/min-sum variant, "
             "kernel 'auto' on TPU or 'pallas')"
         )
+    sgroups = 1
+    if use_pallas:
+        from ldpc_tpu.ops.spa_pallas import qc_kernel_fits as _fits
+
+        sgroups = resolve_sublane_groups(
+            code.qc, opts,
+            fits=lambda g: _fits(
+                code.qc, schedule, track_norm=opts.normalized_llr,
+                msg_store=opts.msg_store, sublane_groups=g,
+            ),
+        )
 
     def build(iters):
         if use_pallas:
@@ -283,6 +345,7 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
                 msg_store=opts.msg_store,
                 layer_groups=layer_groups,
                 check_every=opts.check_every,
+                sublane_groups=sgroups,
             )
         if schedule == "layered":
             from ldpc_tpu.ops.layered import make_qc_layered_decoder
@@ -314,6 +377,8 @@ def _select_decoder(code, opts, layout, info_pos, max_iterations, batch=0):
         kind += "+paired"
     if opts.check_every > 1:
         kind += f"+ce{opts.check_every}"
+    if sgroups > 1:
+        kind += f"+sg{sgroups}"
     return build(max_iterations), kind
 
 
@@ -527,6 +592,17 @@ class PointExecutor:
 
             encode_T = make_encoder_T(spec, self.graph)
             layer_groups = resolve_layer_groups(code.qc, opts, schedule)
+            from ldpc_tpu.ops.mc_pallas import mc_kernel_fits as _mc_fits
+
+            self._sublane_groups = sgroups = resolve_sublane_groups(
+                code.qc, opts,
+                fits=lambda g: _mc_fits(
+                    code.qc, schedule, noise_source=noise_source,
+                    mode=opts.mode, track_norm=opts.normalized_llr,
+                    msg_store=opts.msg_store, emit_llr=bool(phase1),
+                    sublane_groups=g,
+                ),
+            )
             kernel_kw = dict(
                 mode=opts.mode,
                 modulation=self.modulation,
@@ -541,6 +617,9 @@ class PointExecutor:
                 # flattened layer order, keeping two-phase lane-parity intact
                 layer_groups=layer_groups,
                 check_every=opts.check_every,
+                # sublane grouping applies to BOTH phases (the phase-2 LLR
+                # decoder re-groups the compacted lanes the same way)
+                sublane_groups=sgroups,
             )
             decode_kw = {
                 k: v for k, v in kernel_kw.items()
@@ -734,7 +813,9 @@ class PointExecutor:
                 "+layered" if schedule == "layered" else ""
             ) + ("+paired" if layer_groups is not None else "") + (
                 f"+ce{opts.check_every}" if opts.check_every > 1 else ""
-            ) + ("+mesh" if mesh is not None and batch_axes else "")
+            ) + (f"+sg{sgroups}" if sgroups > 1 else "") + (
+                "+mesh" if mesh is not None and batch_axes else ""
+            )
             if phase1 and opts.two_phase == "auto":
                 # operating-point-aware dispatch: build BOTH pairs; each SNR
                 # point is probed with one single-pass batch and the cheaper
@@ -843,11 +924,14 @@ class PointExecutor:
         so the probe batch itself is consumed as production output).
 
         Cost model (:func:`two_phase_trip_model`), in mean loop trips per
-        128-lane tile: two-phase wins when phase1_mean + phase2_per_tile +
+        kernel tile (128 lanes, or sublane_groups*128 under grouping --
+        the grouped kernel's exit couples all G*128 of a tile's
+        codewords): two-phase wins when phase1_mean + phase2_per_tile +
         TWO_PHASE_OVERHEAD_TRIPS < single.
         """
         m = two_phase_trip_model(
-            conv, ok, self._phase1_auto, self.max_iterations
+            conv, ok, self._phase1_auto, self.max_iterations,
+            lanes=128 * getattr(self, "_sublane_groups", 1),
         )
         mean_two = (m["phase1_mean"] + m["phase2_per_tile"]
                     + self.TWO_PHASE_OVERHEAD_TRIPS)
@@ -1062,6 +1146,7 @@ def make_sim_config(opts: SimOptions, code: LDPCCode) -> SimulationConfig:
         fused=opts.fused,
         layer_order=opts.layer_order,
         check_every=opts.check_every,
+        sublane_groups=str(opts.sublane_groups),
     )
 
 
@@ -1082,6 +1167,11 @@ def sweep_fingerprint(config: SimulationConfig) -> tuple:
         # different statistics (unlike two_phase below); a gated syndrome
         # cadence coarsens convergence detection, likewise
         config.layer_order, config.check_every,
+        # sublane grouping changes the hw-PRNG draw geometry (a G>1 tile
+        # draws [G*Z, 128] planes), so G>1 runs are a different noise
+        # stream than G=1 on hardware; the option string is stable for a
+        # fixed sweep ('auto' resolves deterministically from the code)
+        config.sublane_groups,
         # batch shapes the key->codeword stream (keys fold per batch index),
         # so a different batch size is a DIFFERENT sweep, not a resumable one
         config.batch,
