@@ -494,6 +494,24 @@ class PointExecutor:
         batch = self.batch
         exact_ber = opts.exact_ber
 
+        # Chunked-dispatch depth: each dispatch over the remote-TPU link
+        # pays a ~28 ms serialized submission latency (measured round 5,
+        # examples/sublane_fill/binder.json -- it does NOT overlap across
+        # dispatches, only with device execution), so a chunk must carry
+        # enough device work to amortize it. The flagship (1152, 576) at
+        # 64 batches/chunk runs ~85 ms of device work per dispatch
+        # (device-bound); a small code at the same 64 runs ~2 ms and is
+        # >90% latency -- the round-4 perf matrix's small-code rows
+        # measured the TUNNEL, not the kernel. Scale the depth inversely
+        # with per-batch work (~ n*k*batch), capped by the int32
+        # error-bits counter headroom (worst case k errors per frame).
+        work = max(code.n * code.k * batch, 1)
+        ref_work = 1152 * 576 * 4096
+        cap = max((1 << 31) // max(code.k * batch, 1), 1)
+        self._max_chunk_steps = min(
+            max(64, 64 * ref_work // work), 4096, cap
+        )
+
         # ---- fully-fused Monte-Carlo step eligibility (ops.mc_pallas) ----
         on_tpu = jax.default_backend() == "tpu"
         schedule = opts.schedule or "flooding"
@@ -825,6 +843,21 @@ class PointExecutor:
                 self._step2, self._chunk2 = build_fused(phase1)
                 self._phase1_auto = phase1
                 self._two_phase_choice: dict[float, bool] = {}
+                # per-sweep tile time estimate for the probe's cost model:
+                # this code's census element-ops per sweep x the tile's
+                # lanes, at the flagship's measured sustained VPU rate
+                # (examples/roofline: 1.87 T element-ops/s)
+                from ldpc_tpu.analysis.roofline import decode_census
+
+                per_iter = decode_census(
+                    code.qc, opts.decoder_variant, schedule,
+                    track_norm=opts.normalized_llr,
+                    check_every=opts.check_every,
+                    sublane_groups=sgroups,
+                ).total()
+                self._trip_time_us = max(
+                    per_iter * 128 * sgroups / 1.87e12 * 1e6, 1e-3
+                )
                 self.kernel_used = self._kernel_base + "+2phase(auto)"
             else:
                 self._step, self._chunk = build_fused(phase1)
@@ -906,16 +939,20 @@ class PointExecutor:
         # residual-pattern step for failure analysis, compiled only if used
         self._pattern_step_builder = lambda: jax.jit(make_step(decode, True))
 
-    # Two-phase dispatch overhead in per-tile loop-trip equivalents: the
-    # [n, B] LLR emit + argsort + two [n, B] gathers + the second kernel
-    # launch, expressed in units of one decode iteration of one tile.
-    # Calibrated on the flagship envelope (examples/two_phase_envelope,
-    # both the round-3 serial and round-4 paired+ce2 runs): the implied
-    # overhead across the decided points brackets at ~0.2-2.9 sweeps; 2.0
-    # is the conservative choice (prefers single-pass on the margin, so
-    # 'auto' never loses more than the probe's own noise -- where it
-    # declines, it runs the byte-identical single-pass kernel).
-    TWO_PHASE_OVERHEAD_TRIPS = 2.0
+    # Two-phase dispatch overhead -- the [n, B] LLR emit + argsort + two
+    # [n, B] gathers + the second kernel launch -- in MICROSECONDS per
+    # 128-lane tile. Calibrated on the flagship envelope
+    # (examples/two_phase_envelope, round-3 serial and round-4 paired+ce2
+    # runs): the implied overhead brackets at ~0.2-2.9 flagship sweeps;
+    # the conservative 2.0-sweep choice x the flagship's ~5.2 us/sweep
+    # tile time (76k census element-ops/frame x 128 lanes / the 1.87 T
+    # op/s sustained rate) = ~10.4 us. Expressed in time rather than trip
+    # units because a "trip" shrinks with the code: pricing the SAME
+    # dispatch overhead at a small code's tiny trips made the round-4
+    # model predict splits that measured 22% SLOWER on CCSDS n32
+    # (examples/sublane_fill) -- the overhead does not shrink with the
+    # kernel.
+    TWO_PHASE_OVERHEAD_US = 10.4
 
     def _decide_two_phase(self, conv: np.ndarray, ok: np.ndarray) -> bool:
         """Predict whether two-phase dispatch beats single-pass at this
@@ -927,14 +964,16 @@ class PointExecutor:
         kernel tile (128 lanes, or sublane_groups*128 under grouping --
         the grouped kernel's exit couples all G*128 of a tile's
         codewords): two-phase wins when phase1_mean + phase2_per_tile +
-        TWO_PHASE_OVERHEAD_TRIPS < single.
+        overhead/trip_time < single, with this code's per-sweep tile time
+        estimated from its op census at the flagship's sustained rate.
         """
         m = two_phase_trip_model(
             conv, ok, self._phase1_auto, self.max_iterations,
             lanes=128 * getattr(self, "_sublane_groups", 1),
         )
+        overhead_trips = self.TWO_PHASE_OVERHEAD_US / self._trip_time_us
         mean_two = (m["phase1_mean"] + m["phase2_per_tile"]
-                    + self.TWO_PHASE_OVERHEAD_TRIPS)
+                    + overhead_trips)
         return mean_two < m["single"]
 
     def run_point(
@@ -994,11 +1033,12 @@ class PointExecutor:
             )
             if use2:
                 chunk_fn, step = self._chunk2, self._step2
-        # One dispatch covers up to MAX_CHUNK Monte-Carlo batches (an
-        # in-program lax.scan): per-dispatch host/tunnel latency amortizes
-        # over the whole group. With --target-errors the quota check needs a
-        # sync per group, so groups stay small to keep the stop responsive.
-        max_chunk = 8 if target_errors else 64
+        # One dispatch covers up to _max_chunk_steps Monte-Carlo batches
+        # (an in-program lax.scan): per-dispatch host/tunnel latency
+        # amortizes over the whole group. With --target-errors the quota
+        # check needs a sync per group, so groups stay small to keep the
+        # stop responsive.
+        max_chunk = 8 if target_errors else self._max_chunk_steps
         pending = []  # device-side counters: converted AFTER the dispatch
         # loop so groups pipeline through the (high-latency) device link
         while (

@@ -65,7 +65,9 @@ def test_emit_llr_vmem_accounting():
     code = LDPCCode(alist=ccsds(128), name="ccsds_128")
     base = mc_vmem_bytes(code.qc)
     with_llr = mc_vmem_bytes(code.qc, emit_llr=True)
-    assert with_llr == base + 4 * 128 * code.n
+    # x2: I/O blocks are double-buffered across grid steps by the pallas
+    # pipeline (accounting validated against the wifi_648 G=4 OOM)
+    assert with_llr == base + 2 * 4 * 128 * code.n
     assert mc_kernel_fits(code.qc, emit_llr=True)
 
 
@@ -152,9 +154,13 @@ def test_decide_two_phase_operating_point():
     from ldpc_tpu.sim.config import SimOptions
     from ldpc_tpu.sim.runner import PointExecutor
 
-    code = LDPCCode(alist=ccsds(128), name="ccsds_128")
+    from ldpc_tpu.sim.runner import load_code
+
+    # flagship-sized code: the overhead is ~2 sweeps of ITS tile time, so
+    # the waterfall economics play out as on the bench point
+    code = load_code("builtin:wimax_1152_0.5.alist.txt")
     ex = PointExecutor(code, SimOptions(
-        matrix="ccsds_128", blocks=4096, iterations=12, ber=True, fer=True,
+        matrix=code.name, blocks=4096, iterations=12, ber=True, fer=True,
         fidelity="exact", batch=4096, seed=0, fused="on", two_phase="auto",
     ))
     assert ex._phase1_auto == 6
@@ -181,6 +187,21 @@ def test_decide_two_phase_operating_point():
     assert ex._decide_two_phase(
         np.full(64, -1, np.int32), np.zeros(64, bool)
     ) is False
+
+    # SMALL code: the same dispatch overhead priced at its ~30x smaller
+    # per-sweep tile time swamps any split gain -- auto must decline even
+    # in the favorable straggler profile (the round-4 trip-unit constant
+    # predicted a win here; it measured 22% slower on hardware,
+    # examples/sublane_fill)
+    small = LDPCCode(alist=ccsds(128), name="ccsds_128")
+    ex2 = PointExecutor(small, SimOptions(
+        matrix="ccsds_128", blocks=4096, iterations=12, ber=True, fer=True,
+        fidelity="exact", batch=4096, seed=0, fused="on", two_phase="auto",
+    ))
+    assert ex2.TWO_PHASE_OVERHEAD_US / ex2._trip_time_us > it
+    conv = np.full(B, 2, np.int32)
+    conv[::128] = it - 1
+    assert ex2._decide_two_phase(conv, np.ones(B, bool)) is False
 
 
 @slow
