@@ -50,9 +50,12 @@ Examples:
                         help="Number of codeword blocks per SNR point (default: 100)")
     parser.add_argument("--iterations", "-i", type=int, default=5,
                         help="Max decoder iterations (default: 5)")
-    parser.add_argument("--interleaver", "-il", type=str,
-                        choices=["none", "regular", "random", "srandom"], default="none",
-                        help="Interleaver type (default: none)")
+    parser.add_argument("--interleaver", "-il", type=str, default="none",
+                        metavar="{none,regular,random,srandom,file:PATH}",
+                        help="Interleaver type (default: none). The "
+                             "reference's four types, plus 'file:<perm.npy>'"
+                             " -- a custom static permutation (int array pi,"
+                             " out[i] = bits[pi[i]])")
     parser.add_argument("--decoder", "-d", type=str,
                         choices=["bitflipping", "sumproduct", "minsum",
                                  "normalized-minsum", "offset-minsum"],

@@ -92,11 +92,21 @@ def make_interleaver(kind: str, n: int, s_param: int = 2, seed: int = 0):
 
         return interleave, deinterleave
 
-    if kind in ("regular", "srandom"):
+    if kind in ("regular", "srandom") or kind.startswith("file:"):
         if kind == "regular":
             pi_np = regular_permutation(n)
-        else:
+        elif kind == "srandom":
             pi_np = srandom_permutation(n, s_param, seed)
+        else:
+            # custom static permutation from a .npy file ('file:<path>'):
+            # bring-your-own interleaver (e.g. the adversarial symbol-
+            # concentrating permutation of examples/burst_interleaver)
+            pi_np = np.load(kind[5:]).astype(np.int32)
+            if sorted(pi_np.tolist()) != list(range(n)):
+                raise ValueError(
+                    f"{kind}: not a permutation of 0..{n - 1} "
+                    f"(shape {pi_np.shape})"
+                )
         pi = jnp.asarray(pi_np)
         inv = jnp.asarray(np.argsort(pi_np).astype(np.int32))
 

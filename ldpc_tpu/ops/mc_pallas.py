@@ -227,7 +227,7 @@ def make_mc_decoder(
         info_mask if G == 1
         else np.tile(info_mask.reshape(nb, 1, Z, 1), (1, G, 1, 1))
         .reshape(n * G, 1)
-    )
+    ).astype(np.int8)  # int8 block: 1/4 the VMEM of f32, cast at use
 
     loop = make_decode_loop(
         qc, max_iterations, variant, alpha=alpha, beta=beta,
@@ -236,6 +236,14 @@ def make_mc_decoder(
         check_every=check_every, sublane_groups=G,
     )
     e_dtype = jnp.int8 if msg_store == "int8" else jnp.float32
+    # The layered schedule reads the channel LLRs ONLY at loop init
+    # (posteriors update in place thereafter), so the llr scratch can
+    # alias L: channel_fill writes straight into L_ref and the loop's
+    # init is a self-assign. Saves an [nb, G*Z, tile_b] f32 buffer -- the
+    # margin that lets the flagship-structure n=4608 code (Z=192) run the
+    # fused SPA kernel at all (examples/big_code). Flooding re-reads the
+    # LLRs in every posterior update and keeps the dedicated scratch.
+    llr_aliases_L = schedule == "layered"
 
     def channel_fill(x_blk, get, llr_ref, c):
         """Fill every base column's channel LLRs (log(p0/p1) domain).
@@ -288,11 +296,11 @@ def make_mc_decoder(
         idx += 5
         dllr_ref = refs[idx] if emit else None
         rest = refs[idx + 1 if emit else idx:]
-        if track_norm:
-            E_ref, L_ref, prior_ref, llr_ref = rest[-4:]
-        else:
-            E_ref, L_ref, llr_ref = rest[-3:]
-            prior_ref = None
+        nscr = 2 + (1 if track_norm else 0) + (0 if llr_aliases_L else 1)
+        scr = rest[-nscr:]
+        E_ref, L_ref = scr[0], scr[1]
+        prior_ref = scr[2] if track_norm else None
+        llr_ref = L_ref if llr_aliases_L else scr[-1]
         TB = tile_b
 
         def c(name):
@@ -306,7 +314,8 @@ def make_mc_decoder(
             pltpu.prng_seed(seeds_ref[0] + tile_mix, seeds_ref[1])
 
         def x_blk(j):
-            return w_ref[pl.ds(j * GZ, GZ), :]
+            # w is an int8 0/1 block (1/4 the VMEM of f32); exact cast
+            return w_ref[pl.ds(j * GZ, GZ), :].astype(jnp.float32)
 
         if hw:
             def get(d, bj):
@@ -329,7 +338,7 @@ def make_mc_decoder(
                 dllr_ref[pl.ds(bj * GZ, GZ), :] = llr_ref[bj]
 
         def mask_blk(j):
-            return mask_ref[pl.ds(j * GZ, GZ), :]
+            return mask_ref[pl.ds(j * GZ, GZ), :].astype(jnp.float32)
 
         it, done_f, conv, norm = loop(
             lambda j: llr_ref[j], mask_blk, E_ref, L_ref, prior_ref,
@@ -362,7 +371,7 @@ def make_mc_decoder(
                 skip: jax.Array | None = None):
         B = wT.shape[1]
         Bp = -(-B // (G * tile_b)) * (G * tile_b)
-        w = wT.astype(jnp.float32)
+        w = wT.astype(jnp.int8)  # 0/1 bits: int8 block, cast in-kernel
         if Bp != B:
             w = jnp.pad(w, ((0, 0), (0, Bp - B)))
         if G > 1:
@@ -432,9 +441,11 @@ def make_mc_decoder(
             ] + (
                 [pltpu.VMEM((nb, GZ, tile_b), jnp.float32)]  # prior
                 if track_norm else []
-            ) + [
-                pltpu.VMEM((nb, GZ, tile_b), jnp.float32),  # llr
-            ],
+            ) + (
+                []  # layered: channel LLRs live in L (read only at init)
+                if llr_aliases_L else
+                [pltpu.VMEM((nb, GZ, tile_b), jnp.float32)]  # llr
+            ),
         )(*args)
         err, ok_f, conv, norm, iters = outs[:5]
 
@@ -525,7 +536,7 @@ def make_llr_decoder(
         info_mask if G == 1
         else np.tile(info_mask.reshape(nb, 1, Z, 1), (1, G, 1, 1))
         .reshape(n * G, 1)
-    )
+    ).astype(np.int8)  # int8 block: 1/4 the VMEM of f32, cast at use
 
     loop = make_decode_loop(
         qc, max_iterations, variant, alpha=alpha, beta=beta,
@@ -544,10 +555,11 @@ def make_llr_decoder(
             return llr_ref[pl.ds(j * GZ, GZ), :]
 
         def mask_blk(j):
-            return mask_ref[pl.ds(j * GZ, GZ), :]
+            return mask_ref[pl.ds(j * GZ, GZ), :].astype(jnp.float32)
 
         def x_blk(j):
-            return w_ref[pl.ds(j * GZ, GZ), :]
+            # w is an int8 0/1 block (1/4 the VMEM of f32); exact cast
+            return w_ref[pl.ds(j * GZ, GZ), :].astype(jnp.float32)
 
         it, done_f, conv, norm = loop(
             llr_blk, mask_blk, E_ref, L_ref, prior_ref,
@@ -576,7 +588,7 @@ def make_llr_decoder(
         B = llrT.shape[1]
         Bp = -(-B // (G * tile_b)) * (G * tile_b)
         llr = llrT.astype(jnp.float32)
-        w = wT.astype(jnp.float32)
+        w = wT.astype(jnp.int8)  # 0/1 bits: int8 block, cast in-kernel
         # padded lanes pre-done: tiles made purely of padding never iterate
         d = jnp.reshape(done0.astype(jnp.float32), (1, B))
         if Bp != B:
@@ -660,31 +672,37 @@ def mc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
 
     ``emit_llr=True`` adds the [n, lanes] LLR output block (two-phase
     dispatch); the same accounting also bounds :func:`make_llr_decoder`
-    (its llr INPUT block replaces the emit output, its done row is noise).
+    (its llr INPUT block replaces the emit output, its done row is noise,
+    and it keeps a dedicated L scratch -- its llr input cannot alias L --
+    so the flooding-shaped bound covers it).
     ``sublane_groups=G`` scales every per-column buffer and block by G
-    (the grouped layout stacks G Z-blocks per array).
+    (the grouped layout stacks G Z-blocks per array). Under the layered
+    schedule the llr scratch aliases L (channel LLRs are read only at
+    loop init), dropping one [nb, G*Z, lanes] f32 buffer; the info mask
+    is an int8 block (1 byte/row-element).
     """
     lanes = max(tile_b, 128)
     G = max(int(sublane_groups), 1)
     GZ = G * qc.Z
     row_slots = qc.row_slots()
     dcb = max((len(r) for r in row_slots), default=1)
-    nbuf = 3 if track_norm else 2  # L (+ prior), llr
+    nbuf = 1 + (1 if track_norm else 0) + (0 if schedule == "layered" else 1)
     if msg_store == "int8":
         z_pad = -(-GZ // 32) * 32  # int8 sublane tile is 32 rows
         e_bytes = 1 * lanes * qc.mb * dcb * z_pad
     else:
         e_bytes = 4 * lanes * GZ * qc.mb * dcb
     scratch = e_bytes + 4 * lanes * GZ * nbuf * qc.nb
-    io = 4 * lanes * qc.n * G  # w block
+    rows8 = -(-qc.n * G // 32) * 32  # int8 blocks pad to 32-row tiles
+    io = 1 * lanes * rows8  # w block (int8 0/1 bits)
     if emit_llr:
-        io += 4 * lanes * qc.n * G  # llr output block
+        io += 4 * lanes * qc.n * G  # llr output block (f32)
     if noise_source == "input":
         io += 4 * lanes * qc.n * G * DRAWS_PER_BIT[mode]
     # x2: the pallas pipeline double-buffers I/O blocks across grid steps
     # (validated against the wifi_648 G=4 scoped-vmem OOM)
     io *= 2
-    mask = 4 * 128 * qc.n * G
+    mask = 128 * rows8  # int8 [n*G, 1] block
     return scratch + io + mask
 
 

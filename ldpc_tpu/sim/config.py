@@ -49,7 +49,7 @@ class SimOptions:
     matrix: str = ""
     blocks: int = 100
     iterations: int = 5
-    interleaver: str = "none"  # none | regular | random | srandom
+    interleaver: str = "none"  # none | regular | random | srandom | file:<perm.npy>
     decoder: str = "sumproduct"  # sumproduct | bitflipping | minsum | normalized-minsum | offset-minsum
     speed: float = 1.0
     initial_snr: float = 0.0
