@@ -190,6 +190,11 @@ def write_readme(out: Path, dev: str, rows, ceilings,
         "(`ldpc_tpu.analysis.roofline`) at the measured mean tile trips, "
         "priced for the dispatch the spa/layered cell ran; `%SoL` is that "
         "cell's fraction of it.\n",
+        "Large-code rows whose chunk depth IS 64 (wimax_1152/2304) expose "
+        "one ~28 ms dispatch latency per 64-batch window: ~0.1-0.4 G below "
+        "`bench.py`'s 320-batch flagship figure (1.38 G here vs 1.77 G "
+        "headline = the predicted ~24% at ~90 ms device work/window) -- a "
+        "measurement-window effect, not a kernel difference.\n",
         "| code | n | rate | Eb/N0 | "
         + " | ".join(c[0] for c in CONFIGS)
         + " | ceiling | %SoL |",
