@@ -126,13 +126,27 @@ def main() -> int:
               f"load(rref+G+validate)={t_load:.1f}s", flush=True)
 
         # ---- throughput at a waterfall point, production dispatch ----
+        from ldpc_tpu.ops.mc_pallas import mc_kernel_fits
+        from ldpc_tpu.ops.spa_pallas import qc_kernel_fits
+
         lo, hi, step = SNR_GRID[Z]
+        # the XLA-fallback decoder (everything at n=9216) runs ~2 orders
+        # below the fused kernel: cap its per-point frames so the sweep
+        # stays minutes, not hours (FER resolution ~1e-4 there is enough
+        # to show the waterfall; the fused n=4608 sweep keeps full depth)
+        max_blocks = args.max_blocks
         snr_perf = (lo + hi) / 2
+        perf_pallas = mc_kernel_fits(
+            code.qc, "layered", track_norm=False
+        ) or qc_kernel_fits(code.qc, "layered", track_norm=False)
+        if not perf_pallas:
+            max_blocks = min(max_blocks, 120_000)
         opts = SimOptions(
             matrix=str(alist_path), blocks=args.batch, iterations=12,
             ber=True, fer=True, fidelity="exact", batch=args.batch, seed=0,
             speed=code.k / code.n, schedule="layered", layer_order="paired",
-            check_every=2, two_phase="auto", quiet=True,
+            check_every=2 if perf_pallas else 1, two_phase="auto",
+            quiet=True,
         )
         ex = PointExecutor(code, opts)
         med, windows, fer, bits = measure_point(
@@ -173,11 +187,27 @@ def main() -> int:
 
         # ---- waterfall with per-point early stop ----
         for il in (["none"] if args.skip_interleaver else ["none", "srandom"]):
+            # the interleaver chain forces the unfused pipeline; when the
+            # standalone QC kernel's VMEM plan also overflows (n=4608:
+            # 21.4M f32 > 14M), decode falls back to the XLA path, where
+            # the Pallas-loop knobs (check_every, and for n=9216
+            # everything fused) do not apply -- adapt them to whichever
+            # path engages, exactly as a user following the error
+            # messages would
+            from ldpc_tpu.ops.mc_pallas import mc_kernel_fits
+            from ldpc_tpu.ops.spa_pallas import qc_kernel_fits
+
+            fused_ok = il == "none" and mc_kernel_fits(
+                code.qc, "layered", track_norm=False)
+            pallas_ok = fused_ok or qc_kernel_fits(
+                code.qc, "layered", track_norm=False)
+            il_blocks = max_blocks if pallas_ok else min(max_blocks, 120_000)
             sweep_opts = SimOptions(
-                matrix=str(alist_path), blocks=args.max_blocks,
+                matrix=str(alist_path), blocks=il_blocks,
                 iterations=12, ber=True, fer=True, fidelity="exact",
                 batch=args.batch, seed=1, speed=code.k / code.n,
-                schedule="layered", layer_order="paired", check_every=2,
+                schedule="layered", layer_order="paired",
+                check_every=2 if pallas_ok else 1,
                 two_phase="auto", quiet=True, interleaver=il,
                 target_errors=args.target_errors,
                 initial_snr=lo, end_snr=hi, step_snr=step,
