@@ -457,8 +457,8 @@ def _mix_schedule(mix: dict[str, float], length: int = 64) -> list[str]:
     return sched
 
 
-def measure_mix_rate(mix: dict[str, float], *, shape=(256, 1024),
-                     streams: int = 8, depths=(4096, 65536),
+def measure_mix_rate(mix: dict[str, float], *, shape=(8, 256),
+                     streams: int = 8, depths=(131072, 1048576),
                      reps: int = 3, sched_len: int = 64,
                      verbose: bool = False) -> dict:
     """ATTAINABLE sustained rate on the kernel's exact op mix (VERDICT
@@ -473,6 +473,15 @@ def measure_mix_rate(mix: dict[str, float], *, shape=(256, 1024),
     credits perfect scheduling (the unattainable CEILING). What this
     measures is what the VPU actually sustains on this instruction mix
     when dependencies do not bind -- the op mix's achievable ceiling.
+
+    The per-stream tiles are deliberately SMALL (default (8, 256) = 2
+    vregs): on a large VMEM-resident tile every elementwise op streams
+    through VMEM (load - compute - store), and the measurement collapses
+    to VMEM bandwidth -- the first cut of this kernel at (256, 1024)
+    reproduced the dependent-chain floor exactly, streams
+    notwithstanding. Register-resident values are what let the real
+    fused kernel (which fuses many ops per VMEM round trip) sustain
+     2.1x that floor; the microkernel must grant itself the same.
 
     Census-op accounting: the schedule counts CENSUS ops; each non-fma
     body op carries 1-2 stabilizing fma-class ops (same bodies as
