@@ -195,6 +195,11 @@ def write_readme(out: Path, dev: str, rows, ceilings,
         "`bench.py`'s 320-batch flagship figure (1.38 G here vs 1.77 G "
         "headline = the predicted ~24% at ~90 ms device work/window) -- a "
         "measurement-window effect, not a kernel difference.\n",
+        "The matrix's tightest cross-cell claim (NMS >= SPA on the "
+        "802.11ad row, whose spreads nearly touch) is re-stated with "
+        "interleaved paired windows in `paired_11ad.json`: nms/spa = "
+        "x1.071 with per-round spread [1.048-1.084] -- the ordering "
+        "survives pairing (round-5 item 6).\n",
         "| code | n | rate | Eb/N0 | "
         + " | ".join(c[0] for c in CONFIGS)
         + " | ceiling | %SoL |",
