@@ -191,10 +191,10 @@ def resolve_sublane_groups(qc, opts, fits=None) -> int:
     grouping moves throughput by -16%..+6% -- the register-fill gain is
     eaten by the coupled tile exit (one tile now waits for all G*128
     codewords, pushing mean trips toward the full budget) and by the
-    grouped roll's 3x element cost. The small-code binder is per-batch
-    dispatch overhead, not sublane underfill (examples/sublane_fill
-    binder experiment), and the productive lever is a larger device
-    batch. 'auto' therefore always resolves to 1; the grouped kernels
+    grouped roll's 3x element cost. The small-code binder was per-DISPATCH
+    tunnel latency, not sublane underfill (examples/sublane_fill binder
+    experiment), and the productive lever is a deeper dispatch chunk
+    (_max_chunk_steps). 'auto' therefore always resolves to 1; the grouped kernels
     stay available behind an explicit --sublane-groups N (bit-identical
     per-codeword counters, tests/test_sublane_groups.py) for future
     hardware where the tradeoff may differ.
