@@ -111,11 +111,16 @@ def main() -> int:
             )
             configs.append((f"G{g}", PointExecutor(code, opts), snr))
 
+        # window depth follows the code's chunk depth so the windows are
+        # DEVICE-bound: the first campaign ran flat 64-batch windows (one
+        # ~28 ms tunnel dispatch each), which masked the grouping effect
+        # entirely -- at device-bound depth, n32 G=16 measures x1.38
+        nb = max(args.n_batches, configs[0][1]._max_chunk_steps)
         times = measure_paired(
-            configs, batch=args.batch, n_batches=args.n_batches,
+            configs, batch=args.batch, n_batches=nb,
             n_rounds=args.n_rounds,
         )
-        frame_bits = args.n_batches * args.batch * code.k
+        frame_bits = nb * args.batch * code.k
         row = {"Z": Z, "snr_db": snr, "n": code.n, "k": code.k, "gs": {}}
         t1 = times["G1"]
         for g in gs:

@@ -95,3 +95,26 @@ def test_srandom_actually_interleaves():
 def test_unknown_kind_raises():
     with pytest.raises(ValueError):
         make_interleaver("bogus", 8)
+
+
+def test_file_interleaver_roundtrip(tmp_path):
+    """'file:<perm.npy>' -- bring-your-own static permutation (round 5;
+    used by examples/burst_interleaver's adversarial control)."""
+    n = 24
+    rng = np.random.default_rng(5)
+    pi = rng.permutation(n).astype(np.int32)
+    p = tmp_path / "pi.npy"
+    np.save(p, pi)
+    interleave, deinterleave = make_interleaver(f"file:{p}", n)
+    bits = jnp.arange(n, dtype=jnp.float32)[None, :]
+    out, st = interleave(jax.random.key(0), bits)
+    assert np.array_equal(np.asarray(out[0]), pi.astype(np.float32))
+    back = deinterleave(st, out)
+    assert np.array_equal(np.asarray(back[0]), np.arange(n, dtype=np.float32))
+
+
+def test_file_interleaver_rejects_non_permutation(tmp_path):
+    p = tmp_path / "bad.npy"
+    np.save(p, np.zeros(8, np.int32))
+    with pytest.raises(ValueError, match="not a permutation"):
+        make_interleaver(f"file:{p}", 8)
