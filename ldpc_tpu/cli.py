@@ -185,10 +185,10 @@ Examples:
                              "into the sublane dimension (per-codeword "
                              "counters bit-identical to G=1; tile "
                              "early-exit coarsens to G*128 codewords). "
-                             "Measured at -16%%..+6%% on v5e "
-                             "(examples/sublane_fill), so 'auto' = 1; "
-                             "set an explicit G only to re-run that "
-                             "experiment")
+                             "'auto' fills one (8,128) vreg: G=8//Z for "
+                             "Z<8 (measured x1.5-1.6 at Z=4), else 1 "
+                             "(measured losses at Z>=8) -- "
+                             "examples/sublane_fill")
     parser.add_argument("--minsum-alpha", type=_parse_alpha, default=0.75,
                         help="Normalized min-sum scale factor, or a "
                              "comma-separated per-iteration schedule (e.g. a "

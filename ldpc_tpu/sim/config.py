@@ -136,15 +136,16 @@ class SimOptions:
     # kernel is VPU-issue-bound)
     msg_store: str = "f32"  # 'f32' | 'int8'
     # sublane grouping in the Pallas decode loops: G stacks G independent
-    # 128-codeword groups into the sublane dimension (the round-4 small-Z
-    # underfill hypothesis). Measured and FALSIFIED on v5e
-    # (examples/sublane_fill: -16%..+6% across Z in {4, 14, 16}; the
-    # coupled tile exit and the grouped roll's 3x element cost eat the
-    # register-fill gain), so 'auto' always resolves to 1 and the lever
-    # stays explicit-only. Per-codeword counters are bit-identical to
-    # G=1 (tests/test_sublane_groups.py); what changes is tile-exit
-    # granularity (one kernel tile waits for G*128 codewords) and the
-    # hw-PRNG draw geometry (part of the checkpoint fingerprint).
+    # 128-codeword groups into the sublane dimension. Measured on v5e
+    # with device-bound paired windows (examples/sublane_fill): wins
+    # x1.52-1.60 exactly where the (8, 128) vector registers are
+    # underfilled (Z=4), loses 10-40% for Z >= 8 -- so 'auto' fills one
+    # vreg (G = 8//Z for Z < 8, else 1;
+    # runner.resolve_sublane_groups). Per-codeword counters are
+    # bit-identical to G=1 (tests/test_sublane_groups.py); what changes
+    # is tile-exit granularity (one kernel tile waits for G*128
+    # codewords) and the hw-PRNG draw geometry (part of the checkpoint
+    # fingerprint).
     sublane_groups: str | int = "auto"
     seed: int = 0
     exact_ber: bool = False  # also count undetected-error bits (not just failed frames)

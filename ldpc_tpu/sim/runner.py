@@ -181,23 +181,24 @@ def resolve_sublane_groups(qc, opts, fits=None) -> int:
     """Sublane-group count G for the Pallas decode loops (1 = off).
 
     G stacks G independent 128-codeword groups into the sublane dimension
-    (spa_pallas.make_decode_loop), built as the round-4 small-Z
-    utilization hypothesis: a code with lift Z < 8 leaves most of every
-    8-sublane vector register empty, so grouping to G*Z in [64, 128]
-    should fill the registers and amortize ALU latency.
+    (spa_pallas.make_decode_loop) -- the round-4 small-Z utilization
+    hypothesis, settled in round 5 by TWO measurement campaigns
+    (examples/sublane_fill, paired A/B windows on v5e):
 
-    The hypothesis was MEASURED AND FALSIFIED (examples/sublane_fill,
-    paired A/B windows on v5e): across Z in {4, 14, 16} and G up to 64,
-    grouping moves throughput by -16%..+6% -- the register-fill gain is
-    eaten by the coupled tile exit (one tile now waits for all G*128
-    codewords, pushing mean trips toward the full budget) and by the
-    grouped roll's 3x element cost. The small-code binder was per-DISPATCH
-    tunnel latency, not sublane underfill (examples/sublane_fill binder
-    experiment), and the productive lever is a deeper dispatch chunk
-    (_max_chunk_steps). 'auto' therefore always resolves to 1; the grouped kernels
-    stay available behind an explicit --sublane-groups N (bit-identical
-    per-codeword counters, tests/test_sublane_groups.py) for future
-    hardware where the tradeoff may differ.
+    * With tunnel-latency-bound 64-batch windows, grouping measured
+      -16%..+6% everywhere -- but that campaign measured the LINK, not
+      the kernel (the binder experiment: ~28 ms serialized latency per
+      dispatch; fixed by _max_chunk_steps).
+    * Re-measured with device-bound windows: grouping wins EXACTLY where
+      the vector registers are underfilled -- Z=4 gains x1.52-1.60 at
+      G in [2, 8] (flat across that range) -- and LOSES 10-40% for every
+      Z >= 8 (the arrays already fill whole vregs; grouping only adds
+      the 3x grouped-roll cost and the coupled tile exit).
+
+    Auto rule, from that data: ``G = 8 // Z`` when Z < 8 (fill one
+    (8, 128) vreg -- the smallest G captures the whole win), else 1.
+    Explicit --sublane-groups N overrides (bit-identical per-codeword
+    counters either way, tests/test_sublane_groups.py).
 
     ``fits(G) -> bool`` gates an explicit G on the caller's VMEM plan
     (approximate at G > 1: Mosaic's scoped-vmem accounting includes
@@ -213,7 +214,12 @@ def resolve_sublane_groups(qc, opts, fits=None) -> int:
             )
         return 1
     if sel == "auto":
-        return 1
+        if opts.normalized_llr or qc.Z >= 8:
+            return 1
+        G = max(8 // qc.Z, 1)
+        while G > 1 and fits is not None and not fits(G):
+            G //= 2
+        return G
     G = int(sel)
     if G > 1 and opts.normalized_llr:
         raise ValueError(

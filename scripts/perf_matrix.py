@@ -113,7 +113,7 @@ def row_ceiling(code, opts, snr, kernel_used: str) -> dict | None:
         speed_of_light_two_phase,
         vpu_peak_ops_per_s,
     )
-    from ldpc_tpu.sim.runner import resolve_two_phase
+    from ldpc_tpu.sim.runner import resolve_sublane_groups, resolve_two_phase
 
     if code.qc is None:
         return None
@@ -123,6 +123,9 @@ def row_ceiling(code, opts, snr, kernel_used: str) -> dict | None:
     kw = dict(
         k=code.k, variant="spa", schedule="layered", mode=1,
         track_norm=False, check_every=opts.check_every,
+        # the grouped layout's extra roll/select/reduce ops are part of
+        # the executed stream the ceiling prices (auto G=2 at Z<8)
+        sublane_groups=resolve_sublane_groups(code.qc, opts),
         peak_ops_per_s=vpu_peak_ops_per_s(jax.devices()[0].device_kind),
     )
     # '+2phase(auto:off)' means the probe DECLINED the split: the run was

@@ -235,11 +235,16 @@ def test_resolve_sublane_groups_rules(ccsds32, itu336):
 
     o = O()
     assert resolve_sublane_groups(None, o) == 1
-    # 'auto' never groups: the underfill hypothesis was measured and
-    # falsified on v5e (examples/sublane_fill) -- the lever remains
-    # explicit-only
-    assert resolve_sublane_groups(ccsds32.qc, o) == 1
+    # auto rule from the device-bound-window campaign
+    # (examples/sublane_fill): fill one (8, 128) vreg when Z < 8
+    # (Z=4 -> G=2, measured x1.52-1.60); never group at Z >= 8
+    # (measured 10-40% losses)
+    assert resolve_sublane_groups(ccsds32.qc, o) == 2
     assert resolve_sublane_groups(itu336.qc, o) == 1
+    # normalized-LLR tracking disables grouping
+    o_norm = O()
+    o_norm.normalized_llr = True
+    assert resolve_sublane_groups(ccsds32.qc, o_norm) == 1
     o3 = O()
     o3.sublane_groups = "4"
     assert resolve_sublane_groups(ccsds32.qc, o3) == 4
