@@ -159,3 +159,42 @@ def test_all_counts_nonnegative(qc):
             c = decode_census(qc, variant, schedule)
             assert all(v >= 0 for v in c.counts.values())
             assert c.total() > 0
+
+
+def test_mix_schedule_preserves_ratios():
+    """The attainable-ceiling microkernel's op schedule (round 5) must
+    keep the census class ratios under largest-remainder integerization."""
+    from ldpc_tpu.analysis.roofline import _mix_schedule
+
+    mix = {"fma": 51558.0, "roll": 6240.0, "where": 7297.0,
+           "tanh": 3648.0, "log": 3648.0, "div": 3648.0,
+           "sqrt": 0.0, "cossin": 0.0, "prng": 0.0}
+    sched = _mix_schedule(mix, 64)
+    assert len(sched) == 64
+    from collections import Counter
+
+    c = Counter(sched)
+    total = sum(v for v in mix.values() if v > 0)
+    for cls, n in c.items():
+        assert abs(n - 64 * mix[cls] / total) <= 1.0, (cls, n)
+    assert "sqrt" not in c and "cossin" not in c
+    # every minority class appears in the first pass (round-robin head),
+    # so no chain starts with a pure-fma prefix
+    assert set(sched[:6]) == set(c)
+
+
+def test_decode_census_grouped_costs_more_per_frame():
+    """sublane_groups > 1 must price the grouped roll/syndrome overhead:
+    per-frame element-ops strictly increase, driven by roll/where."""
+    from ldpc_tpu.analysis.roofline import decode_census
+    from ldpc_tpu.sim.runner import load_code
+
+    qc = load_code("builtin:CCSDS_ldpc_n32_k16.alist.txt").qc
+    c1 = decode_census(qc, "spa", "layered", check_every=2)
+    c2 = decode_census(qc, "spa", "layered", check_every=2,
+                       sublane_groups=2)
+    assert c2.total() > c1.total()
+    assert c2.counts["roll"] > c1.counts["roll"]
+    assert c2.counts["where"] > c1.counts["where"]
+    # elementwise arithmetic (check updates) is G-invariant per frame
+    assert c2.counts["tanh"] == c1.counts["tanh"]
