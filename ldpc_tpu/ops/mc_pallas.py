@@ -212,7 +212,7 @@ def make_mc_decoder(
 
     n, Z, nb, mb = qc.n, qc.Z, qc.nb, qc.mb
     row_slots = qc.row_slots()
-    dcb = max((len(r) for r in row_slots), default=1)
+    e_slots = sum(len(r) for r in row_slots)  # flattened E: exact edge slots
     k = int(np.asarray(info_pos).shape[0])
     amp = 1.0 if modulation == 1 else 0.7  # channel.py:49-51
     draws = DRAWS_PER_BIT[mode]
@@ -223,11 +223,16 @@ def make_mc_decoder(
 
     info_mask = np.zeros((n, 1), dtype=np.float32)
     info_mask[np.asarray(info_pos, dtype=np.int64), 0] = 1.0
+    # the info mask rides in the w block's spare bits: w entries are 0/1,
+    # so one int8 block carries w + 2*mask (values 0..3) and the kernel
+    # splits them with &1 / >>1 -- no separate mask input block at all
+    # (saves 128*n*G bytes of VMEM; at n=9216 that block was part of what
+    # kept the fused kernel from compiling)
     mask_np = (
         info_mask if G == 1
         else np.tile(info_mask.reshape(nb, 1, Z, 1), (1, G, 1, 1))
         .reshape(n * G, 1)
-    ).astype(np.int8)  # int8 block: 1/4 the VMEM of f32, cast at use
+    ).astype(np.int8)
 
     loop = make_decode_loop(
         qc, max_iterations, variant, alpha=alpha, beta=beta,
@@ -287,7 +292,7 @@ def make_mc_decoder(
                            + (sym + n1) * (1.0 - c("p"))) * c("l_c3")
                 llr_ref[bj] = -llr
 
-    def kernel(consts_ref, seeds_ref, skip_ref, w_ref, mask_ref, *refs):
+    def kernel(consts_ref, seeds_ref, skip_ref, w_ref, *refs):
         idx = 0
         if not hw:
             raw_in = refs[idx]
@@ -314,8 +319,12 @@ def make_mc_decoder(
             pltpu.prng_seed(seeds_ref[0] + tile_mix, seeds_ref[1])
 
         def x_blk(j):
-            # w is an int8 0/1 block (1/4 the VMEM of f32); exact cast
-            return w_ref[pl.ds(j * GZ, GZ), :].astype(jnp.float32)
+            # int8 block carries w + 2*mask (values 0..3); bit 0 is the
+            # transmitted bit. Derived in f32 (Mosaic cannot lower int8
+            # shifts -- arith.shrsi fails to legalize)
+            v = w_ref[pl.ds(j * GZ, GZ), :].astype(jnp.float32)
+            m = jnp.where(v >= 2.0, 1.0, 0.0)
+            return v - 2.0 * m
 
         if hw:
             def get(d, bj):
@@ -338,7 +347,10 @@ def make_mc_decoder(
                 dllr_ref[pl.ds(bj * GZ, GZ), :] = llr_ref[bj]
 
         def mask_blk(j):
-            return mask_ref[pl.ds(j * GZ, GZ), :].astype(jnp.float32)
+            # bit 1 of the packed w block is the info mask (f32 compare:
+            # Mosaic cannot lower int8 shifts)
+            v = w_ref[pl.ds(j * GZ, GZ), :].astype(jnp.float32)
+            return jnp.where(v >= 2.0, 1.0, 0.0)
 
         it, done_f, conv, norm = loop(
             lambda j: llr_ref[j], mask_blk, E_ref, L_ref, prior_ref,
@@ -364,7 +376,7 @@ def make_mc_decoder(
         iters_ref[:] = jnp.full((1, TB), it, jnp.int32)
 
     grid_kernel = functools.partial(pl.pallas_call, kernel, interpret=interpret)
-    mask_const = jnp.asarray(mask_np)
+    mask2_const = jnp.asarray(mask_np * np.int8(2))  # bit 1 = info mask
 
     def mc_step(wT: jax.Array, consts_vec: jax.Array, seeds: jax.Array,
                 raw: jax.Array | None = None,
@@ -376,6 +388,7 @@ def make_mc_decoder(
             w = jnp.pad(w, ((0, 0), (0, Bp - B)))
         if G > 1:
             w = stack_groups(w, Z, G, tile_b)
+        w = w + mask2_const  # pack the mask into bit 1 (values 0..3)
         Bl = Bp // G  # kernel lane extent (grouped layout)
         grid = (Bl // tile_b,)
         skip_arr = (
@@ -388,10 +401,9 @@ def make_mc_decoder(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seeds [2]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # skip [1]
             pl.BlockSpec((n * G, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n * G, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ]
         args = [consts_vec.astype(jnp.float32), seeds.astype(jnp.int32),
-                skip_arr, w, mask_const]
+                skip_arr, w]
         if not hw:
             if raw is None:
                 raise ValueError("noise_source='input' needs the raw words")
@@ -436,7 +448,7 @@ def make_mc_decoder(
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[
-                pltpu.VMEM((mb, dcb, GZ, tile_b), e_dtype),  # E
+                pltpu.VMEM((e_slots, GZ, tile_b), e_dtype),  # E (flattened)
                 pltpu.VMEM((nb, GZ, tile_b), jnp.float32),  # L
             ] + (
                 [pltpu.VMEM((nb, GZ, tile_b), jnp.float32)]  # prior
@@ -524,7 +536,7 @@ def make_llr_decoder(
 
     n, Z, nb, mb = qc.n, qc.Z, qc.nb, qc.mb
     row_slots = qc.row_slots()
-    dcb = max((len(r) for r in row_slots), default=1)
+    e_slots = sum(len(r) for r in row_slots)  # flattened E: exact edge slots
     k = int(np.asarray(info_pos).shape[0])
     G = int(sublane_groups)
     GZ = G * Z
@@ -536,7 +548,7 @@ def make_llr_decoder(
         info_mask if G == 1
         else np.tile(info_mask.reshape(nb, 1, Z, 1), (1, G, 1, 1))
         .reshape(n * G, 1)
-    ).astype(np.int8)  # int8 block: 1/4 the VMEM of f32, cast at use
+    ).astype(np.int8)  # rides in the packed w block's bit 1 (see mc_step)
 
     loop = make_decode_loop(
         qc, max_iterations, variant, alpha=alpha, beta=beta,
@@ -546,7 +558,7 @@ def make_llr_decoder(
     )
     e_dtype = jnp.int8 if msg_store == "int8" else jnp.float32
 
-    def kernel(w_ref, llr_ref, done_ref, mask_ref, err_ref, ok_ref,
+    def kernel(w_ref, llr_ref, done_ref, err_ref, ok_ref,
                conv_ref, norm_ref, iters_ref, E_ref, L_ref, *rest):
         prior_ref = rest[0] if track_norm else None
         TB = tile_b
@@ -555,11 +567,18 @@ def make_llr_decoder(
             return llr_ref[pl.ds(j * GZ, GZ), :]
 
         def mask_blk(j):
-            return mask_ref[pl.ds(j * GZ, GZ), :].astype(jnp.float32)
+            # bit 1 of the packed w block is the info mask (f32 compare:
+            # Mosaic cannot lower int8 shifts)
+            v = w_ref[pl.ds(j * GZ, GZ), :].astype(jnp.float32)
+            return jnp.where(v >= 2.0, 1.0, 0.0)
 
         def x_blk(j):
-            # w is an int8 0/1 block (1/4 the VMEM of f32); exact cast
-            return w_ref[pl.ds(j * GZ, GZ), :].astype(jnp.float32)
+            # int8 block carries w + 2*mask (values 0..3); bit 0 is the
+            # transmitted bit. Derived in f32 (Mosaic cannot lower int8
+            # shifts -- arith.shrsi fails to legalize)
+            v = w_ref[pl.ds(j * GZ, GZ), :].astype(jnp.float32)
+            m = jnp.where(v >= 2.0, 1.0, 0.0)
+            return v - 2.0 * m
 
         it, done_f, conv, norm = loop(
             llr_blk, mask_blk, E_ref, L_ref, prior_ref,
@@ -582,7 +601,7 @@ def make_llr_decoder(
         iters_ref[:] = jnp.full((1, TB), it, jnp.int32)
 
     grid_kernel = functools.partial(pl.pallas_call, kernel, interpret=interpret)
-    mask_const = jnp.asarray(mask_np)
+    mask2_const = jnp.asarray(mask_np * np.int8(2))  # bit 1 = info mask
 
     def llr_step(llrT: jax.Array, wT: jax.Array, done0: jax.Array):
         B = llrT.shape[1]
@@ -605,6 +624,7 @@ def make_llr_decoder(
             d = jnp.broadcast_to(
                 d.reshape(T, G, 1, tile_b), (T, G, Z, tile_b)
             ).transpose(1, 2, 0, 3).reshape(GZ, Bl)
+        w = w + mask2_const  # pack the mask into bit 1 (values 0..3)
         grid = (Bl // tile_b,)
 
         out_row = lambda dt: jax.ShapeDtypeStruct((RS, Bl), dt)
@@ -620,8 +640,6 @@ def make_llr_decoder(
                 pl.BlockSpec((n * G, tile_b), lambda b: (0, b),
                              memory_space=pltpu.VMEM),
                 row_spec,
-                pl.BlockSpec((n * G, 1), lambda b: (0, 0),
-                             memory_space=pltpu.VMEM),
             ],
             out_specs=[row_spec] * 4 + [iters_spec],
             out_shape=[
@@ -632,13 +650,13 @@ def make_llr_decoder(
                 jax.ShapeDtypeStruct((1, Bl), jnp.int32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((mb, dcb, GZ, tile_b), e_dtype),  # E
+                pltpu.VMEM((e_slots, GZ, tile_b), e_dtype),  # E (flattened)
                 pltpu.VMEM((nb, GZ, tile_b), jnp.float32),  # L
             ] + (
                 [pltpu.VMEM((nb, GZ, tile_b), jnp.float32)]  # prior
                 if track_norm else []
             ),
-        )(w, llr, d, mask_const)
+        )(w, llr, d)
 
         if G > 1:
             T = Bl // tile_b
@@ -685,13 +703,13 @@ def mc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
     G = max(int(sublane_groups), 1)
     GZ = G * qc.Z
     row_slots = qc.row_slots()
-    dcb = max((len(r) for r in row_slots), default=1)
+    e_slots = sum(len(r) for r in row_slots)  # flattened E: exact edge slots
     nbuf = 1 + (1 if track_norm else 0) + (0 if schedule == "layered" else 1)
     if msg_store == "int8":
         z_pad = -(-GZ // 32) * 32  # int8 sublane tile is 32 rows
-        e_bytes = 1 * lanes * qc.mb * dcb * z_pad
+        e_bytes = 1 * lanes * e_slots * z_pad
     else:
-        e_bytes = 4 * lanes * GZ * qc.mb * dcb
+        e_bytes = 4 * lanes * GZ * e_slots
     scratch = e_bytes + 4 * lanes * GZ * nbuf * qc.nb
     rows8 = -(-qc.n * G // 32) * 32  # int8 blocks pad to 32-row tiles
     io = 1 * lanes * rows8  # w block (int8 0/1 bits)
@@ -702,8 +720,8 @@ def mc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
     # x2: the pallas pipeline double-buffers I/O blocks across grid steps
     # (validated against the wifi_648 G=4 scoped-vmem OOM)
     io *= 2
-    mask = 128 * rows8  # int8 [n*G, 1] block
-    return scratch + io + mask
+    # no separate mask block: the info mask rides in the w block's bit 1
+    return scratch + io
 
 
 def mc_kernel_fits(qc: QCLayout, schedule: str = "flooding",

@@ -352,8 +352,18 @@ def make_decode_loop(
             "loses FER under message quantization (examples/quantized_messages)"
         )
 
+    # the E scratch is FLATTENED over (row, slot): [edge_slots, GZ, TB]
+    # with static per-row offsets, not [mb, dcb, GZ, TB] -- padding every
+    # row to the max degree wasted (mb*dcb - edges)/mb*dcb of the largest
+    # scratch buffer (~17% on the 802.16e base graph; the margin that let
+    # the n=9216 int8-E kernel compile at all). Offsets exposed to the
+    # kernel builders via :func:`e_slot_count`.
+    _row_off = [0]
+    for r in row_slots:
+        _row_off.append(_row_off[-1] + len(r))
+
     def E_read(E_ref, bi, slot):
-        v = E_ref[bi, slot]
+        v = E_ref[_row_off[bi] + slot]
         return v.astype(jnp.float32) * E_INT8_SCALE if int8_e else v
 
     def E_quantize(val):
@@ -367,11 +377,12 @@ def make_decode_loop(
 
     def E_write(E_ref, bi, slot, val, active):
         """Store an E_quantize'd value, freezing converged lanes."""
+        s = _row_off[bi] + slot
         if int8_e:
             q = jnp.round(val * (1.0 / E_INT8_SCALE)).astype(jnp.int8)
-            E_ref[bi, slot] = jnp.where(active, q, E_ref[bi, slot])
+            E_ref[s] = jnp.where(active, q, E_ref[s])
         else:
-            E_ref[bi, slot] = jnp.where(active, val, E_ref[bi, slot])
+            E_ref[s] = jnp.where(active, val, E_ref[s])
 
     def alpha_of(it):
         """bi -> traced alpha scalar for iteration ``it`` (None = constant)."""
@@ -532,9 +543,8 @@ def make_decode_loop(
             if track_norm:
                 prior_ref[bj] = llr_blk(bj)
         e_zero = jnp.zeros((GZ, TB), jnp.int8 if int8_e else jnp.float32)
-        for bi in range(mb):
-            for slot in range(len(row_slots[bi])):
-                E_ref[bi, slot] = e_zero
+        for s in range(_row_off[-1]):
+            E_ref[s] = e_zero
 
         def body(carry):
             # carries are f32/int32 vectors: Mosaic's while-loop layout
@@ -562,6 +572,13 @@ def make_decode_loop(
         return jax.lax.while_loop(cond, body, init)
 
     return run
+
+
+def e_slot_count(qc: QCLayout) -> int:
+    """Rows of the FLATTENED extrinsic scratch: one [G*Z, TB] slab per
+    base edge slot (sum of row degrees), not mb*dcb -- the decode loop
+    indexes E by static per-row offsets (make_decode_loop)."""
+    return sum(len(r) for r in qc.row_slots())
 
 
 def stack_groups(xT: jax.Array, Z: int, G: int, tile_b: int) -> jax.Array:
@@ -644,7 +661,7 @@ def make_qc_decoder(
     n, Z, nb, mb = qc.n, qc.Z, qc.nb, qc.mb
     row_slots = qc.row_slots()
     k = int(np.asarray(info_pos).shape[0])
-    dcb = max((len(r) for r in row_slots), default=1)
+    e_slots = sum(len(r) for r in row_slots)
     G = int(sublane_groups)
     GZ = G * Z  # stacked block height; == Z at G=1 (the original layout)
     RS = 1 if G == 1 else GZ  # row-output sublanes (make_decode_loop's MS)
@@ -732,7 +749,7 @@ def make_qc_decoder(
                 jax.ShapeDtypeStruct((1, Bl), jnp.int32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((mb, dcb, GZ, tile_b), e_dtype),  # E
+                pltpu.VMEM((e_slots, GZ, tile_b), e_dtype),  # E (flattened)
                 pltpu.VMEM((nb, GZ, tile_b), jnp.float32),  # L
             ] + (
                 [pltpu.VMEM((nb, GZ, tile_b), jnp.float32)]  # prior
@@ -782,13 +799,13 @@ def qc_vmem_bytes(qc: QCLayout, schedule: str = "flooding",
     G = max(int(sublane_groups), 1)
     GZ = G * qc.Z  # grouped layout stacks G Z-blocks per array
     row_slots = qc.row_slots()
-    dcb = max((len(r) for r in row_slots), default=1)
+    e_slots = sum(len(r) for r in row_slots)  # flattened E: exact edge slots
     l_blocks = 2 if track_norm else 1  # L (+ prior)
     if msg_store == "int8":
         z_pad = -(-GZ // 32) * 32  # int8 sublane tile is 32 rows
-        e_bytes = 1 * lanes * qc.mb * dcb * z_pad
+        e_bytes = 1 * lanes * e_slots * z_pad
     else:
-        e_bytes = 4 * lanes * qc.mb * dcb * GZ
+        e_bytes = 4 * lanes * e_slots * GZ
     scratch = e_bytes + 4 * lanes * l_blocks * qc.nb * GZ
     # llr in + est out (+ extras), each [n*G, lanes] in the grouped layout;
     # x2: the pallas pipeline double-buffers I/O blocks across grid steps

@@ -83,10 +83,11 @@ def test_int8_vmem_accounting(ccsds):
     wimax = load_code("builtin:wimax_1152_0.5.alist.txt")
     assert qc_vmem_bytes(wimax.qc, "layered", msg_store="int8") \
         < qc_vmem_bytes(wimax.qc, "layered")
-    row_slots = wimax.qc.row_slots()
-    dcb = max(len(r) for r in row_slots)
-    e_f32 = 4 * 128 * wimax.qc.mb * dcb * wimax.qc.Z
-    e_i8 = 1 * 128 * wimax.qc.mb * dcb * 64
+    # the E scratch is flattened to exact per-row slot counts (round 5:
+    # no dcb padding), so the f32/int8 delta is priced per edge slot
+    e_slots = sum(len(r) for r in wimax.qc.row_slots())
+    e_f32 = 4 * 128 * e_slots * wimax.qc.Z
+    e_i8 = 1 * 128 * e_slots * 64
     assert qc_vmem_bytes(wimax.qc, "layered") \
         - qc_vmem_bytes(wimax.qc, "layered", msg_store="int8") \
         == e_f32 - e_i8
